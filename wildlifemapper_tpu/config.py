@@ -1,0 +1,206 @@
+"""Typed configuration for the WildlifeMapper-TPU framework.
+
+The reference (lgemc/WildlifeMapper) spreads its configuration across argparse
+flags (`wildlifemapper/train.py:46-115`) and hardcoded constants
+(`build_sam.py:268-306`, `network.py:36`, `dataloader_coco.py:278-290`,
+`segment_anything/utils/misc.py:50`). Here every knob lives in one frozen
+dataclass tree so jitted functions can close over static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """SAM ViT image-encoder hyperparameters (reference: build_sam.py:19-52, 260-288)."""
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
+    mlp_ratio: float = 4.0
+    window_size: int = 14
+    out_chans: int = 256  # neck output channels (prompt_embed_dim)
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    use_abs_pos: bool = True
+
+
+# Registry mirroring the reference's sam_model_registry (build_sam.py:55-60).
+VIT_B = ViTConfig()
+VIT_L = ViTConfig(embed_dim=1024, depth=24, num_heads=16,
+                  global_attn_indexes=(5, 11, 17, 23))
+VIT_H = ViTConfig(embed_dim=1280, depth=32, num_heads=16,
+                  global_attn_indexes=(7, 15, 23, 31))
+
+VIT_REGISTRY = {
+    "vit_b": VIT_B,
+    "vit_l": VIT_L,
+    "vit_h": VIT_H,
+    "default": VIT_H,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class HFCConfig:
+    """High-frequency-component adaptor (reference: network.py:36-57,
+    image_encoder.py:65-87, 452-516)."""
+
+    rate: float = 0.125           # band-stop rate of the Fourier mask
+    embed_dim: int = 1024         # HfcEmbed output channels
+    proj_dim: int = 1024          # cross-attention internal dim
+    num_heads: int = 8
+    ffn_dim: int = 1024
+    dropout: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """DETR-style detection decoder (reference: build_sam.py:295-306,
+    box_decoder.py:16-107, transformer.py:16-60)."""
+
+    transformer_dim: int = 256
+    depth: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    num_queries: int = 51         # num_multimask_outputs=50 (+1), build_sam.py:296
+    head_hidden_dim: int = 256
+    head_depth: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vit: ViTConfig = VIT_B
+    hfc: HFCConfig = HFCConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    img_size: int = 1024
+    patch_size: int = 16
+    # 6 real classes with ids 1..6; id 0 unused; index num_classes(=7) is
+    # the no-object/background logit (reference: box_decoder.py:50, build_sam.py:273).
+    num_classes: int = 7
+    # Compute dtype for the hot path; params always live in float32.
+    dtype: str = "float32"
+    # Use the Pallas flash-attention kernel for global attention blocks
+    # (jnp fallback otherwise; interpret mode on CPU backends).
+    use_flash_attention: bool = False
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size  # 64
+
+    @property
+    def num_logits(self) -> int:
+        return self.num_classes + 1  # 8
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchCriterionConfig:
+    """Hungarian matching + DETR set-criterion weights
+    (reference: train.py:62-101, build_sam.py:326-331)."""
+
+    set_cost_class: float = 1.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+    ce_loss_coef: float = 3.0
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    eos_coef: float = 0.1
+    # Static padded target count per image. The bundled train split peaks at
+    # 118 boxes/img (p99 = 57); targets beyond this are dropped with a warning.
+    max_targets: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset + preprocessing (reference: dataloader_coco.py, augmentation.py,
+    misc.py:46-67)."""
+
+    coco_path: str = "/root/reference/coco_annotations"
+    image_root: str = ""          # directory containing train/ and val/ images
+    resize_size: int = 768        # RandomResize([768], max_size=768)
+    canvas_size: int = 1024       # zero-pad canvas (misc.py:50)
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    flip_prob: float = 0.5        # train-only FlipLR(0.5)
+    # The reference's FlipLR applies torch.fliplr to a CHW tensor, flipping H
+    # (a *vertical* flip) while updating cy (augmentation.py:265-285). True
+    # replicates that; False gives a genuine horizontal flip.
+    flip_is_vertical: bool = True
+    # The reference's 4-image mosaic path is dead code (gate `== '_train'`
+    # vs passed 'train', dataloader_coco.py:34). Off by default for parity.
+    use_mosaic: bool = False
+    max_targets: int = 64
+    batch_size: int = 6
+    num_workers: int = 2
+    synthetic: bool = False       # generate random tiles when images are absent
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference: train.py:62-101, 215-222)."""
+
+    lr: float = 1e-4
+    hfc_lr: float = 1e-4          # second param group, train.py:215-221
+    weight_decay: float = 1e-3
+    epochs: int = 550
+    lr_drop: int = 40             # StepLR step size
+    lr_drop_factor: float = 0.1
+    clip_max_norm: float = 0.1
+    seed: int = 42
+    checkpoint_every: int = 40
+    # Freeze policy (reference: network.py:19-34): inside the encoder only
+    # hfc_embed / hfc_attn / patch_embed train; decoder fully trains;
+    # the dense-PE gaussian matrix is a buffer (never trained).
+    freeze_encoder: bool = True
+    use_amp: bool = False         # bf16 compute in the train step
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Post-processing + COCO evaluation (reference: build_sam.py:212-258,
+    visualize_prediction.py:36,150-157)."""
+
+    confidence_threshold: float = 0.05
+    viz_confidence_threshold: float = 0.5
+    nms_iou: float = 0.4
+    max_detections: int = 51
+    # Reference PostProcess swaps h/w when scaling boxes to original image
+    # coordinates (build_sam.py:252) — harmless on square tiles, wrong
+    # otherwise. True replicates; False fixes.
+    hw_swap_compat: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. data = batch sharding (DP), model = tensor
+    sharding of attention heads / MLP hidden dims (TP)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    criterion: MatchCriterionConfig = MatchCriterionConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    eval: EvalConfig = EvalConfig()
+    mesh: MeshConfig = MeshConfig()
+
+
+def model_config(variant: str = "vit_b", **overrides) -> ModelConfig:
+    """Build a ModelConfig for a registry variant ('vit_b'|'vit_l'|'vit_h')."""
+    vit = VIT_REGISTRY[variant]
+    return dataclasses.replace(ModelConfig(vit=vit), **overrides)

@@ -1,0 +1,77 @@
+"""Shared layers (reference: segment_anything/modeling/common.py,
+box_decoder.py:154-176).
+
+All modules are flax.linen, NHWC / (B, N, C) layouts, params in float32 with a
+configurable compute dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def gelu_exact(x):
+    """erf-based GELU matching torch.nn.GELU's default (flax's default is the
+    tanh approximation, which differs by ~1e-4 — enough to fail parity)."""
+    return nn.gelu(x, approximate=False)
+
+
+class MLPBlock(nn.Module):
+    """Two-layer MLP: lin1 -> act -> lin2 (reference common.py:13-28)."""
+
+    mlp_dim: int
+    out_dim: int
+    act: Callable = gelu_exact
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
+        return x
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the trailing channel axis of NHWC tensors.
+
+    Equivalent to the reference's channel-first LayerNorm2d
+    (common.py:31-43, eps 1e-6) in our channels-last layout — which lets XLA
+    keep the normalization fused with the surrounding convs instead of paying
+    NCHW<->NHWC transposes.
+    """
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class MLPHead(nn.Module):
+    """DETR-style prediction head: (num_layers-1) x [Dense+ReLU] + Dense
+    (reference box_decoder.py:154-176)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            is_last = i == self.num_layers - 1
+            dim = self.out_dim if is_last else self.hidden_dim
+            x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
+            if not is_last:
+                x = nn.relu(x)
+        if self.sigmoid_output:
+            x = nn.sigmoid(x)
+        return x

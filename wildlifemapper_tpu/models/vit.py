@@ -1,0 +1,225 @@
+"""SAM/ViTDet image encoder, TPU-first.
+
+Behavioral parity target: segment_anything/modeling/image_encoder.py
+(ImageEncoderViT :17-138, Block :141-204, Attention :207-262). Differences
+from the reference are architectural, not behavioral:
+
+  * NHWC end-to-end (convs, LayerNorms, attention reshapes) — no NCHW
+    permutes; XLA keeps everything in the TPU-native layout.
+  * Windowed attention runs as one batched (B*25, 196, C) attention with a
+    materialized 196x196 decomposed rel-pos bias (tiny).
+  * Global attention (4096 tokens) can route through a Pallas flash-attention
+    kernel that regenerates the rel-pos bias tile-by-tile instead of
+    materializing (B, heads, 4096, 4096).
+  * Compute dtype is configurable (bf16); params stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import rel_pos as rel_pos_ops
+from ..ops import windows as window_ops
+from .common import ChannelLayerNorm, MLPBlock
+
+Dtype = Any
+
+
+class PatchEmbed(nn.Module):
+    """16x16/16 conv patch embedding, NHWC in -> (B, H/16, W/16, C)
+    (reference image_encoder.py:386-417)."""
+
+    embed_dim: int
+    patch_size: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.embed_dim,
+                       kernel_size=(self.patch_size, self.patch_size),
+                       strides=(self.patch_size, self.patch_size),
+                       dtype=self.dtype, name="proj")(x)
+
+
+class RelPosAttention(nn.Module):
+    """Multi-head attention with decomposed relative-position bias
+    (reference image_encoder.py:207-262).
+
+    Operates on (B, H, W, C) token grids; `input_size` is the static grid the
+    rel-pos tables are sized for (window size for windowed blocks, full grid
+    for global blocks).
+    """
+
+    dim: int
+    num_heads: int
+    input_size: Tuple[int, int]
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    use_flash: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                       dtype=self.dtype, name="qkv")(x)
+        # (B, N, 3, heads, hd) -> (3, B*heads, N, hd)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads, h * w, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        rel_h = rel_w = None
+        if self.use_rel_pos:
+            rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                                   (2 * self.input_size[0] - 1, head_dim), jnp.float32)
+            rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                                   (2 * self.input_size[1] - 1, head_dim), jnp.float32)
+            rel_h, rel_w = rel_pos_ops.decomposed_rel_pos_tables(
+                q, rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype),
+                (h, w), (h, w))
+
+        if self.use_flash:
+            from ..ops.flash_attention import flash_attention_rel_pos
+            out = flash_attention_rel_pos(q, k, v, rel_h, rel_w, scale, (h, w))
+        else:
+            attn = jnp.einsum("bqc,bkc->bqk", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            if rel_h is not None:
+                attn = (attn.reshape(-1, h, w, h, w)
+                        + rel_h[..., :, None].astype(jnp.float32)
+                        + rel_w[..., None, :].astype(jnp.float32)
+                        ).reshape(-1, h * w, h * w)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v)
+
+        out = out.reshape(b, self.num_heads, h, w, head_dim)
+        out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional windowing
+    (reference image_encoder.py:141-204)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    window_size: int = 0          # 0 = global attention
+    input_size: Tuple[int, int] = (64, 64)
+    use_flash: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+
+        attn_size = ((self.window_size, self.window_size)
+                     if self.window_size > 0 else self.input_size)
+        if self.window_size > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, pad_hw = window_ops.window_partition(x, self.window_size)
+
+        x = RelPosAttention(dim=self.dim, num_heads=self.num_heads,
+                            input_size=attn_size, qkv_bias=self.qkv_bias,
+                            use_rel_pos=self.use_rel_pos,
+                            use_flash=self.use_flash and self.window_size == 0,
+                            dtype=self.dtype, name="attn")(x)
+
+        if self.window_size > 0:
+            x = window_ops.window_unpartition(x, self.window_size, pad_hw, (h, w))
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MLPBlock(mlp_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+                     dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class Neck(nn.Module):
+    """1x1 conv -> LN -> 3x3 conv -> LN down to out_chans
+    (reference image_encoder.py:105-121). Output NHWC (B, 64, 64, 256)."""
+
+    out_chans: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_chans, kernel_size=(1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = ChannelLayerNorm(dtype=self.dtype, name="ln1")(x)
+        x = nn.Conv(self.out_chans, kernel_size=(3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = ChannelLayerNorm(dtype=self.dtype, name="ln2")(x)
+        return x
+
+
+class ImageEncoderViT(nn.Module):
+    """The full encoder: patch embed + abs pos + HFC adaptor + ViT blocks +
+    neck (reference image_encoder.py:17-138, wiring at :123-138).
+
+    __call__(images NHWC, hfc NHW1) -> (B, grid, grid, out_chans).
+    """
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    qkv_bias: bool = True
+    use_abs_pos: bool = True
+    use_rel_pos: bool = True
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
+    hfc_embed_dim: int = 1024
+    hfc_num_heads: int = 8
+    hfc_ffn_dim: int = 1024
+    hfc_proj_dim: int = 1024
+    hfc_dropout: float = 0.1
+    use_flash: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_hfc, *, deterministic: bool = True):
+        from .adaptor import CrossAttentionHfcPatch
+
+        grid = self.img_size // self.patch_size
+        x = PatchEmbed(embed_dim=self.embed_dim, patch_size=self.patch_size,
+                       dtype=self.dtype, name="patch_embed")(x)
+        if self.use_abs_pos:
+            pos = self.param("pos_embed", nn.initializers.zeros,
+                             (1, grid, grid, self.embed_dim), jnp.float32)
+            x = x + pos.astype(self.dtype)
+
+        hfc_emb = PatchEmbed(embed_dim=self.hfc_embed_dim,
+                             patch_size=self.patch_size,
+                             dtype=self.dtype, name="hfc_embed")(x_hfc)
+        adaptor_out = CrossAttentionHfcPatch(
+            d_model=self.embed_dim, proj_dim=self.hfc_proj_dim,
+            num_heads=self.hfc_num_heads, ffn_dim=self.hfc_ffn_dim,
+            dropout=self.hfc_dropout, grid_size=grid,
+            dtype=self.dtype, name="hfc_attn")(
+                hfc_emb, x, deterministic=deterministic)
+        x = adaptor_out + x
+
+        for i in range(self.depth):
+            x = Block(dim=self.embed_dim, num_heads=self.num_heads,
+                      mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                      use_rel_pos=self.use_rel_pos,
+                      window_size=(0 if i in self.global_attn_indexes
+                                   else self.window_size),
+                      input_size=(grid, grid), use_flash=self.use_flash,
+                      dtype=self.dtype, name=f"blocks_{i}")(x)
+
+        return Neck(out_chans=self.out_chans, dtype=self.dtype, name="neck")(x)
