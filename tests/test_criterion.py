@@ -1,0 +1,92 @@
+"""Unit tests for the fixed-shape DETR criterion (non-oracle)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wildlifemapper_tpu.config import MatchCriterionConfig
+from wildlifemapper_tpu.train.criterion import hungarian_match, set_criterion
+
+
+def _fake_batch(rng, b=2, q=51, t=64, n_valid=(5, 0)):
+    logits = rng.normal(size=(b, q, 8)).astype(np.float32)
+    boxes = np.clip(rng.uniform(0.1, 0.9, size=(b, q, 4)), 0.05, 0.95
+                    ).astype(np.float32)
+    labels = np.zeros((b, t), dtype=np.int32)
+    tboxes = np.full((b, t, 4), 0.5, dtype=np.float32)
+    valid = np.zeros((b, t), dtype=bool)
+    for i, n in enumerate(n_valid):
+        labels[i, :n] = rng.integers(1, 7, size=n)
+        tboxes[i, :n] = rng.uniform(0.2, 0.8, size=(n, 4))
+        valid[i, :n] = True
+    out = {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)}
+    tgt = {"labels": jnp.asarray(labels), "boxes": jnp.asarray(tboxes),
+           "valid": jnp.asarray(valid)}
+    return out, tgt
+
+
+def test_empty_targets_give_pure_background_loss(rng):
+    out, tgt = _fake_batch(rng, n_valid=(0, 0))
+    losses = set_criterion(out, tgt, MatchCriterionConfig())
+    assert float(losses["loss_bbox"]) == 0.0
+    assert float(losses["loss_giou"]) == 0.0
+    assert np.isfinite(float(losses["loss_ce"]))
+    assert float(losses["num_boxes"]) == 1.0  # clamped
+
+
+def test_matching_is_injective(rng):
+    out, tgt = _fake_batch(rng, n_valid=(10, 64))
+    cols, matched = hungarian_match(out, tgt, MatchCriterionConfig())
+    cols, matched = np.asarray(cols), np.asarray(matched)
+    for b in range(2):
+        mc = cols[b][matched[b]]
+        assert len(set(mc.tolist())) == len(mc)  # distinct targets
+    assert matched[0].sum() == 10
+    assert matched[1].sum() == 51  # 64 targets, only 51 queries
+
+
+def test_loss_is_differentiable_and_jits(rng):
+    out, tgt = _fake_batch(rng, n_valid=(5, 12))
+    cfg = MatchCriterionConfig()
+
+    @jax.jit
+    def loss_fn(logits, boxes):
+        losses = set_criterion(
+            {"pred_logits": logits, "pred_boxes": boxes}, tgt, cfg)
+        return losses["loss"]
+
+    g_logits, g_boxes = jax.grad(loss_fn, argnums=(0, 1))(
+        out["pred_logits"], out["pred_boxes"])
+    assert np.isfinite(np.asarray(g_logits)).all()
+    assert np.isfinite(np.asarray(g_boxes)).all()
+    assert np.abs(np.asarray(g_boxes)).max() > 0
+
+
+def test_perfect_predictions_low_loss(rng):
+    """Queries that exactly hit the targets should incur ~zero box loss."""
+    b, q, t = 1, 51, 64
+    labels = np.zeros((b, t), dtype=np.int32)
+    tboxes = np.full((b, t, 4), 0.5, dtype=np.float32)
+    valid = np.zeros((b, t), dtype=bool)
+    n = 6
+    labels[0, :n] = np.arange(1, 7)
+    tboxes[0, :n] = rng.uniform(0.3, 0.7, size=(n, 4))
+    valid[0, :n] = True
+
+    logits = np.full((b, q, 8), -10.0, dtype=np.float32)
+    logits[..., 7] = 10.0                      # background everywhere
+    boxes = np.full((b, q, 4), 0.9, dtype=np.float32)
+    logits[0, :n, 7] = -10.0
+    for i in range(n):
+        logits[0, i, labels[0, i]] = 10.0      # right class
+        boxes[0, i] = tboxes[0, i]             # right box
+
+    losses = set_criterion(
+        {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)},
+        {"labels": jnp.asarray(labels), "boxes": jnp.asarray(tboxes),
+         "valid": jnp.asarray(valid)}, MatchCriterionConfig())
+    assert float(losses["loss_bbox"]) < 1e-5
+    assert float(losses["loss_giou"]) < 1e-4
+    assert float(losses["loss_ce"]) < 1e-3
+    assert float(losses["class_error"]) == 0.0

@@ -1,0 +1,60 @@
+"""On-device Hungarian matcher vs scipy's C++ LSAP oracle."""
+
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+import jax.numpy as jnp
+
+from wildlifemapper_tpu.ops.lsap import matching_cost_pad, solve_lsap
+
+
+def _total_cost(c, rows, cols):
+    return c[rows, cols].sum()
+
+
+@pytest.mark.parametrize("n", [4, 16, 51, 64])
+def test_square_lsap_matches_scipy(n, rng):
+    c = rng.normal(size=(8, n, n)).astype(np.float32) * 10
+    got = np.asarray(solve_lsap(jnp.asarray(c)))
+    for i in range(c.shape[0]):
+        r, cc = linear_sum_assignment(c[i])
+        want = c[i][r, cc].sum()
+        have = c[i][np.arange(n), got[i]].sum()
+        # assignment must be a permutation with the optimal cost
+        assert len(set(got[i].tolist())) == n
+        np.testing.assert_allclose(have, want, rtol=1e-5, atol=1e-4)
+
+
+def test_square_lsap_with_ties(rng):
+    # integer costs create massive ties; optima may differ but costs must not
+    c = rng.integers(0, 3, size=(4, 32, 32)).astype(np.float32)
+    got = np.asarray(solve_lsap(jnp.asarray(c)))
+    for i in range(4):
+        r, cc = linear_sum_assignment(c[i])
+        np.testing.assert_allclose(
+            c[i][np.arange(32), got[i]].sum(), c[i][r, cc].sum(), atol=1e-5)
+
+
+@pytest.mark.parametrize("num_valid", [0, 1, 7, 51, 60, 64])
+def test_rectangular_embedding_matches_scipy(num_valid, rng):
+    """DETR regime: Q=51 queries, T=64 padded target slots, `num_valid` real
+    targets — must equal scipy's rectangular optimum on the real submatrix."""
+    q, t = 51, 64
+    cost = rng.normal(size=(2, q, t)).astype(np.float32) * 5
+    valid = np.zeros((2, t), dtype=bool)
+    valid[:, :num_valid] = True
+
+    square = matching_cost_pad(jnp.asarray(cost), jnp.asarray(valid))
+    row_to_col = np.asarray(solve_lsap(square))[:, :q]
+
+    for b in range(2):
+        if num_valid == 0:
+            continue
+        sub = cost[b][:, :num_valid]
+        r, cc = linear_sum_assignment(sub)
+        want = sub[r, cc].sum()
+        matched = row_to_col[b] < num_valid
+        have = cost[b][np.arange(q)[matched], row_to_col[b][matched]].sum()
+        assert matched.sum() == min(q, num_valid)
+        np.testing.assert_allclose(have, want, rtol=1e-5, atol=1e-3)

@@ -1,0 +1,130 @@
+"""Batched linear-sum-assignment (Hungarian matching) on device.
+
+The reference ships the cost matrix to the CPU and solves per-image with
+scipy's C++ Jonker-Volgenant (matcher.py:77-80) — a device->host->device
+round trip in the middle of every training step. Here the square LSAP is
+solved *inside* the jitted step with a JV shortest-augmenting-path
+implementation built from `lax.while_loop`/`fori_loop` (static shapes,
+vmapped over the batch). The per-column relaxation scan is a vector op, so
+the TPU executes O(n) sequential steps of O(n) vector work per row.
+
+Rectangular DETR matching (51 queries x T targets) is embedded in a square
+matrix (see `matching_cost_pad`): dummy rows/cols carry 0 cost except
+dummy-row x real-col which carries +BIG, which provably reproduces scipy's
+rectangular optimum for the real entries in both the T<=Q and T>Q regimes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e18)
+
+
+def _solve_single(cost: jnp.ndarray) -> jnp.ndarray:
+    """JV shortest augmenting path for one square (n, n) f32 cost matrix.
+
+    Returns row_to_col (n,) int32: the optimal column for each row.
+    """
+    n = cost.shape[0]
+
+    def solve_row(i, carry):
+        # p[j]: row matched to column j (col 0 is the virtual start), -1 free.
+        # u: row potentials (n + 1 slots; slot n is a scatter dump).
+        # v: column potentials (n + 1).
+        p, u, v = carry
+        p = p.at[0].set(i)
+
+        def search_cond(st):
+            j0, _, _, _, p_, _, _ = st
+            return p_[j0] != -1
+
+        def search_body(st):
+            j0, used, minv, way, p_, u_, v_ = st
+            used = used.at[j0].set(True)
+            i0 = p_[j0]
+            # Relax all unused real columns against row i0.
+            cur = cost[i0] - u_[i0] - v_[1:]
+            upd = jnp.logical_and(~used[1:], cur < minv)
+            minv = jnp.where(upd, cur, minv)
+            way = jnp.where(upd, j0, way)
+            masked = jnp.where(used[1:], _INF, minv)
+            j1 = jnp.argmin(masked).astype(jnp.int32) + 1
+            delta = masked[j1 - 1]
+            # Dual update: used columns' rows gain delta, their columns lose
+            # it; unused columns' tentative distances shrink by delta.
+            rows_hit = jnp.where(used, p_, n)
+            u_ = u_.at[rows_hit].add(delta, mode="drop")
+            v_ = v_ - delta * used.astype(v_.dtype)
+            minv = minv - delta * (~used[1:]).astype(minv.dtype)
+            return j1, used, minv, way, p_, u_, v_
+
+        used0 = jnp.zeros(n + 1, dtype=bool)
+        minv0 = jnp.full(n, _INF)
+        way0 = jnp.zeros(n, dtype=jnp.int32)
+        j0, _, _, way, p, u, v = jax.lax.while_loop(
+            search_cond, search_body,
+            (jnp.int32(0), used0, minv0, way0, p, u, v))
+
+        # Augment along the alternating path back to the virtual column.
+        def aug_cond(st):
+            j0_, _ = st
+            return j0_ != 0
+
+        def aug_body(st):
+            j0_, p_ = st
+            j1_ = way[j0_ - 1]
+            p_ = p_.at[j0_].set(p_[j1_])
+            return j1_, p_
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        return p, u, v
+
+    p0 = jnp.full(n + 1, -1, dtype=jnp.int32)
+    u0 = jnp.zeros(n + 1, dtype=jnp.float32)
+    v0 = jnp.zeros(n + 1, dtype=jnp.float32)
+    p, _, _ = jax.lax.fori_loop(0, n, solve_row, (p0, u0, v0))
+
+    col_to_row = p[1:]
+    row_to_col = jnp.zeros(n, dtype=jnp.int32)
+    row_to_col = row_to_col.at[col_to_row].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return row_to_col
+
+
+@functools.partial(jax.jit, static_argnames=())
+def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
+    """Batched square LSAP. cost: (B, n, n) f32 -> row_to_col (B, n) int32.
+
+    Gradients do not flow through the assignment (DETR semantics: the match
+    is a constant of the loss)."""
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    return jax.vmap(_solve_single)(cost)
+
+
+def matching_cost_pad(cost: jnp.ndarray, target_valid: jnp.ndarray,
+                      big: float = 1e6) -> jnp.ndarray:
+    """Embed a (B, Q, T) rectangular DETR cost into a (B, S, S) square one.
+
+    S = max(Q, T). Padding scheme (exactness argument in the module
+    docstring):
+      real row  x real col  -> cost
+      real row  x dummy col -> 0
+      dummy row x real col  -> +big   (forces real targets onto real queries)
+      dummy row x dummy col -> 0
+    """
+    b, q, t = cost.shape
+    s = max(q, t)
+    real_row = jnp.arange(s) < q                     # (S,)
+    valid_col = jnp.zeros((b, s), dtype=bool).at[:, :t].set(target_valid)
+    padded = jnp.zeros((b, s, s), dtype=cost.dtype)
+    padded = padded.at[:, :q, :t].set(
+        jnp.where(target_valid[:, None, :], cost, 0.0))
+    # dummy rows on valid columns
+    dummy_row_pen = jnp.where(
+        jnp.logical_and(~real_row[None, :, None], valid_col[:, None, :]),
+        jnp.float32(big), 0.0)
+    return padded + dummy_row_pen

@@ -1,0 +1,136 @@
+"""DETR-style set criterion with Hungarian matching, fully on-device.
+
+Behavioral parity targets:
+  * HungarianMatcher cost = 5*L1 + 1*(-prob[target]) + 2*(-GIoU)
+    (matcher.py:54-81, weights from train.py:72-77).
+  * SetCriterion CE/L1/GIoU losses + cardinality + class_error
+    (build_sam.py:62-210).
+
+Fixed-shape design: targets arrive padded to `max_targets` per image with a
+validity mask; the rectangular matching problem is embedded in a square LSAP
+(ops/lsap.py) solved inside the jitted step — no host round-trip, no dynamic
+shapes. `num_boxes` is the *global* count across the (possibly sharded)
+batch; under pjit, jnp.sum over a batch-sharded array already yields the
+all-reduced value, matching the reference's dist.all_reduce
+(build_sam.py:183-187).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MatchCriterionConfig
+from ..ops import boxes as box_ops
+from ..ops.lsap import matching_cost_pad, solve_lsap
+
+
+def hungarian_match(outputs: Dict[str, jnp.ndarray],
+                    targets: Dict[str, jnp.ndarray],
+                    cfg: MatchCriterionConfig):
+    """Compute the optimal query->target assignment.
+
+    Args:
+      outputs: pred_logits (B, Q, L), pred_boxes (B, Q, 4) cxcywh in [0,1].
+      targets: labels (B, T) int32, boxes (B, T, 4) cxcywh, valid (B, T) bool.
+
+    Returns:
+      match_cols: (B, Q) int32 — target slot matched to each query (only
+        meaningful where matched).
+      matched: (B, Q) bool — query is matched to a *valid* target.
+    """
+    logits = outputs["pred_logits"]
+    pboxes = outputs["pred_boxes"]
+    b, q, _ = logits.shape
+    t = targets["labels"].shape[1]
+
+    prob = jax.nn.softmax(logits, axis=-1)                      # (B, Q, L)
+    cost_class = -jnp.take_along_axis(
+        prob, targets["labels"][:, None, :], axis=-1)           # (B, Q, T)
+    cost_bbox = jnp.sum(
+        jnp.abs(pboxes[:, :, None, :] - targets["boxes"][:, None, :, :]),
+        axis=-1)                                                # (B, Q, T)
+    cost_giou = -box_ops.generalized_box_iou_pairwise(
+        box_ops.box_cxcywh_to_xyxy(pboxes),
+        box_ops.box_cxcywh_to_xyxy(targets["boxes"]))           # (B, Q, T)
+
+    cost = (cfg.set_cost_bbox * cost_bbox + cfg.set_cost_class * cost_class
+            + cfg.set_cost_giou * cost_giou)
+    square = matching_cost_pad(cost, targets["valid"])
+    row_to_col = solve_lsap(square)                             # (B, S)
+
+    match_cols = row_to_col[:, :q]
+    in_range = match_cols < t
+    col_valid = jnp.take_along_axis(
+        targets["valid"], jnp.minimum(match_cols, t - 1), axis=1)
+    matched = jnp.logical_and(in_range, col_valid)
+    match_cols = jnp.minimum(match_cols, t - 1)
+    return match_cols, matched
+
+
+def set_criterion(outputs: Dict[str, jnp.ndarray],
+                  targets: Dict[str, jnp.ndarray],
+                  cfg: MatchCriterionConfig,
+                  num_classes: int = 7) -> Dict[str, jnp.ndarray]:
+    """Compute all losses. Returns a dict with loss_ce/loss_bbox/loss_giou
+    (weighted into 'loss') plus logging metrics (class_error,
+    cardinality_error, num_boxes)."""
+    logits = outputs["pred_logits"]                             # (B, Q, L)
+    pboxes = outputs["pred_boxes"]
+    b, q, num_logits = logits.shape
+
+    match_cols, matched = hungarian_match(
+        jax.lax.stop_gradient(outputs), targets, cfg)
+
+    # Global box count for normalization (clamped to >= 1, build_sam.py:187).
+    num_boxes = jnp.maximum(jnp.sum(targets["valid"].astype(jnp.float32)), 1.0)
+
+    # --- classification loss (weighted CE, build_sam.py:93-107) -----------
+    tgt_labels = jnp.take_along_axis(targets["labels"], match_cols, axis=1)
+    target_classes = jnp.where(matched, tgt_labels, num_classes)  # (B, Q)
+    log_prob = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        log_prob, target_classes[..., None], axis=-1)[..., 0]     # (B, Q)
+    # empty_weight: 1 for real classes, eos_coef for the no-object slot;
+    # torch's weighted CE normalizes by the sum of selected weights.
+    w = jnp.where(target_classes == num_logits - 1, cfg.eos_coef, 1.0)
+    loss_ce = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-9)
+
+    # class_error: 100 - top1 acc of matched predictions over real classes
+    # (build_sam.py:109-111 via misc.accuracy; excludes the last logit).
+    pred_cls = jnp.argmax(logits[..., :-1], axis=-1)
+    correct = jnp.logical_and(pred_cls == tgt_labels, matched)
+    n_matched = jnp.maximum(jnp.sum(matched.astype(jnp.float32)), 1e-9)
+    class_error = 100.0 * (1.0 - jnp.sum(correct.astype(jnp.float32)) / n_matched)
+
+    # --- box losses (build_sam.py:128-147) --------------------------------
+    tgt_boxes = jnp.take_along_axis(
+        targets["boxes"], match_cols[..., None], axis=1)          # (B, Q, 4)
+    l1 = jnp.sum(jnp.abs(pboxes - tgt_boxes), axis=-1)            # (B, Q)
+    loss_bbox = jnp.sum(jnp.where(matched, l1, 0.0)) / num_boxes
+
+    giou = box_ops.generalized_box_iou_aligned(
+        box_ops.box_cxcywh_to_xyxy(pboxes),
+        box_ops.box_cxcywh_to_xyxy(tgt_boxes))                    # (B, Q)
+    loss_giou = jnp.sum(jnp.where(matched, 1.0 - giou, 0.0)) / num_boxes
+
+    # --- cardinality (logging only, build_sam.py:114-126) -----------------
+    card_pred = jnp.sum(
+        (jnp.argmax(logits, axis=-1) != num_logits - 1).astype(jnp.float32),
+        axis=1)
+    tgt_lengths = jnp.sum(targets["valid"].astype(jnp.float32), axis=1)
+    cardinality_error = jnp.mean(jnp.abs(card_pred - tgt_lengths))
+
+    loss = (cfg.ce_loss_coef * loss_ce + cfg.bbox_loss_coef * loss_bbox
+            + cfg.giou_loss_coef * loss_giou)
+    return {
+        "loss": loss,
+        "loss_ce": loss_ce,
+        "loss_bbox": loss_bbox,
+        "loss_giou": loss_giou,
+        "class_error": class_error,
+        "cardinality_error": cardinality_error,
+        "num_boxes": num_boxes,
+    }
