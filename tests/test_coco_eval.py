@@ -1,0 +1,137 @@
+"""COCO mAP implementation tests on hand-computable cases."""
+
+import numpy as np
+import pytest
+
+from wildlifemapper_tpu.eval.coco_eval import CocoEvaluator, iou_xyxy
+
+
+class FakeIndex:
+    def __init__(self, anns_by_img, cats=(1, 2)):
+        self._anns = anns_by_img
+        self.categories = [{"id": c} for c in cats]
+
+    def annotations(self, img_id):
+        return self._anns.get(img_id, [])
+
+
+def _ann(x, y, w, h, cat, crowd=0):
+    return {"bbox": [x, y, w, h], "area": w * h, "category_id": cat,
+            "iscrowd": crowd}
+
+
+def _pred(boxes, scores, labels):
+    return {"boxes": np.asarray(boxes, dtype=np.float64),
+            "scores": np.asarray(scores, dtype=np.float64),
+            "labels": np.asarray(labels, dtype=np.int64)}
+
+
+def test_iou():
+    d = np.asarray([[0, 0, 10, 10.0]])
+    g = np.asarray([[0, 0, 10, 10.0], [5, 5, 15, 15.0]])
+    iou = iou_xyxy(d, g, np.asarray([False, False]))
+    np.testing.assert_allclose(iou[0, 0], 1.0)
+    np.testing.assert_allclose(iou[0, 1], 25 / 175)
+    # crowd semantics: inter / dt area
+    iou_c = iou_xyxy(d, g, np.asarray([False, True]))
+    np.testing.assert_allclose(iou_c[0, 1], 25 / 100)
+
+
+def test_perfect_detection_is_ap1():
+    gt = FakeIndex({1: [_ann(10, 10, 50, 40, 1)], 2: [_ann(5, 5, 30, 30, 2)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[10, 10, 60, 50]], [0.9], [1]),
+               2: _pred([[5, 5, 35, 35]], [0.8], [2])})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["AP50"] == pytest.approx(1.0)
+    assert stats["AR100"] == pytest.approx(1.0)
+
+
+def test_no_detections_is_ap0():
+    gt = FakeIndex({1: [_ann(10, 10, 50, 40, 1)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred(np.zeros((0, 4)), [], [])})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP"] == pytest.approx(0.0)
+
+
+def test_half_recall():
+    """Two GTs, one detected perfectly, one missed: AP = 0.5 (precision 1 up
+    to recall 0.5, then 0)."""
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1), _ann(50, 50, 10, 10, 1)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10]], [0.9], [1])})
+    ev.accumulate()
+    stats = ev.summarize()
+    # 101-pt interpolation: precision 1.0 at recall thresholds 0..0.5
+    # (51 of 101 points) -> AP = 51/101
+    assert stats["AP"] == pytest.approx(51 / 101, abs=1e-6)
+
+
+def test_false_positive_after_tp():
+    """One GT, a matching det (score .9) and a spurious det (score .8):
+    P@recall .5 region is 1.0; AP stays 51/101, AP50 likewise."""
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10], [80, 80, 90, 90]], [0.9, 0.8], [1, 1])})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP"] == pytest.approx(1.0)  # FP comes after full recall
+    # reversed scores: FP first -> precision at recall>0 is 1/2
+    ev2 = CocoEvaluator(gt)
+    ev2.update({1: _pred([[0, 0, 10, 10], [80, 80, 90, 90]],
+                         [0.8, 0.9], [1, 1])})
+    ev2.accumulate()
+    assert ev2.summarize()["AP"] == pytest.approx(0.5)
+
+
+def test_localization_quality_thresholds():
+    """IoU = 0.6 detection counts at thresholds .5/.55/.6 only -> AP = 3/10."""
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1)]})
+    ev = CocoEvaluator(gt)
+    # det [0,0,6,10] vs gt [0,0,10,10]: inter 60, union 100 -> iou 0.6
+    ev.update({1: _pred([[0, 0, 6, 10]], [0.9], [1])})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP50"] == pytest.approx(1.0)
+    assert stats["AP75"] == pytest.approx(0.0)
+    assert stats["AP"] == pytest.approx(0.3)
+
+
+def test_area_ranges():
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1),      # small (100 px)
+                        _ann(100, 100, 50, 50, 1)]})  # medium (2500 px)
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10], [100, 100, 150, 150]],
+                        [0.9, 0.8], [1, 1])})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP_small"] == pytest.approx(1.0)
+    assert stats["AP_medium"] == pytest.approx(1.0)
+    assert stats["AP_large"] == -1.0  # no large GT -> undefined
+
+
+def test_crowd_gt_is_ignored():
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1, crowd=1)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10]], [0.9], [1])})
+    ev.accumulate()
+    stats = ev.summarize()
+    # only crowd GT: no countable positives -> category undefined
+    assert stats["AP"] == -1.0
+
+
+def test_maxdets_1_vs_10():
+    anns = [_ann(i * 20, 0, 10, 10, 1) for i in range(5)]
+    gt = FakeIndex({1: anns})
+    preds = _pred([[i * 20, 0, i * 20 + 10, 10] for i in range(5)],
+                  [0.9 - 0.01 * i for i in range(5)], [1] * 5)
+    ev = CocoEvaluator(gt)
+    ev.update({1: preds})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AR1"] == pytest.approx(0.2)
+    assert stats["AR10"] == pytest.approx(1.0)

@@ -1,0 +1,43 @@
+"""Minimal COCO-format dataset index (pure Python, no pycocotools).
+
+Provides the subset of the COCO API the pipeline needs: per-image annotation
+lookup and category listing, for the bundled Mara-Wildlife/HerdNet JSONs
+(reference: coco_annotations/{train,val,test}.json; consumed via
+torchvision.datasets.CocoDetection in dataloader_coco.py:23-48).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+class CocoIndex:
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            d = json.load(f)
+        self.dataset = d
+        self.images: List[dict] = d.get("images", [])
+        self.categories: List[dict] = d.get("categories", [])
+        self.img_by_id: Dict[int, dict] = {im["id"]: im for im in self.images}
+        self.anns_by_img: Dict[int, List[dict]] = {im["id"]: [] for im in self.images}
+        for ann in d.get("annotations", []):
+            if ann["image_id"] in self.anns_by_img:
+                self.anns_by_img[ann["image_id"]].append(ann)
+        self.ids: List[int] = [im["id"] for im in self.images]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def annotations(self, image_id: int) -> List[dict]:
+        return self.anns_by_img.get(image_id, [])
+
+    def image_info(self, image_id: int) -> dict:
+        return self.img_by_id[image_id]
+
+    def image_path(self, image_id: int, root: Optional[str]) -> Optional[Path]:
+        if not root:
+            return None
+        p = Path(root) / self.img_by_id[image_id]["file_name"]
+        return p if p.exists() else None

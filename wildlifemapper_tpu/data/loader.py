@@ -1,0 +1,161 @@
+"""Batched data loading with background prefetch and shard-aware slicing.
+
+Replaces the reference's torch DataLoader + DistributedSampler + collate
+stack (train.py:157-170, misc.py:75-84). Emits fixed-shape numpy batches
+ready for device_put/pjit. Multi-host sharding follows the
+DistributedSampler recipe: epoch-seeded global permutation, rank-strided
+slice, drop_last.
+
+When image files are absent (the HerdNet images are not vendored with the
+reference), `synthetic=True` renders deterministic noise tiles with the real
+annotation geometry so the full pipeline stays exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from .coco import CocoIndex
+from .transforms import PreprocessConfig, preprocess_example
+
+
+def _synthetic_image(image_id: int, width: int, height: int) -> Image.Image:
+    """Deterministic noise tile (id-seeded) standing in for a missing file."""
+    rng = np.random.default_rng(image_id)
+    arr = rng.integers(0, 255, size=(height, width, 3), dtype=np.uint8)
+    return Image.fromarray(arr, mode="RGB")
+
+
+class CocoDetectionDataset:
+    """Index-addressable dataset of fixed-shape examples."""
+
+    def __init__(self, ann_file: str, image_root: Optional[str],
+                 preprocess: PreprocessConfig, synthetic: bool = False,
+                 synthetic_size: Optional[int] = None):
+        self.index = CocoIndex(ann_file)
+        self.image_root = image_root
+        self.preprocess = preprocess
+        self.synthetic = synthetic
+        self.synthetic_size = synthetic_size
+
+    def __len__(self):
+        return len(self.index)
+
+    def get(self, i: int, rng: Optional[np.random.Generator] = None
+            ) -> Dict[str, np.ndarray]:
+        image_id = self.index.ids[i]
+        info = self.index.image_info(image_id)
+        path = self.index.image_path(image_id, self.image_root)
+        anns = self.index.annotations(image_id)
+        if path is not None:
+            img = Image.open(path)
+        elif self.synthetic:
+            w0 = info.get("width", 1024)
+            h0 = info.get("height", 1024)
+            w = self.synthetic_size or w0
+            h = self.synthetic_size or h0
+            img = _synthetic_image(image_id, w, h)
+            if (w, h) != (w0, h0):  # keep annotations geometrically valid
+                sx, sy = w / w0, h / h0
+                anns = [dict(a, bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
+                                      a["bbox"][2] * sx, a["bbox"][3] * sy])
+                        for a in anns]
+        else:
+            raise FileNotFoundError(
+                f"image {info['file_name']} not found under {self.image_root}; "
+                "pass synthetic=True to use generated tiles")
+        return preprocess_example(img, anns, image_id, self.preprocess, rng)
+
+
+def _collate(examples) -> Dict[str, np.ndarray]:
+    return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+class DataLoader:
+    """Epoch-based iterator over global batches (or this process's shard).
+
+    drop_last is always on for the train split (train.py:162,
+    BatchSampler(drop_last=True)); eval pads the final batch and reports
+    `batch_valid` so downstream can mask padded rows.
+    """
+
+    def __init__(self, dataset: CocoDetectionDataset, batch_size: int,
+                 shuffle: bool, seed: int = 42, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.ds)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        # rank-strided shard, padded to equal length (DistributedSampler)
+        if self.process_count > 1:
+            per = -(-n // self.process_count)
+            padded = np.concatenate([order, order[:per * self.process_count - n]])
+            order = padded[self.process_index::self.process_count]
+        return order
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_indices(epoch)
+        rng = np.random.default_rng((self.seed, epoch, self.process_index))
+        nb = self.batches_per_epoch()
+
+        def producer(q: queue.Queue):
+            try:
+                for b in range(nb):
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    examples = [self.ds.get(int(i), rng) for i in idxs]
+                    nvalid = len(examples)
+                    while len(examples) < self.batch_size:  # pad final batch
+                        examples.append(examples[-1])
+                    batch = _collate(examples)
+                    batch["batch_valid"] = (
+                        np.arange(self.batch_size) < nvalid)
+                    q.put(batch)
+            except Exception as e:  # propagate into the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:
+    """Mirror of build_dataset (dataloader_coco.py:322-334) on our config."""
+    pre = PreprocessConfig(
+        resize_size=data_cfg.resize_size, canvas_size=data_cfg.canvas_size,
+        max_targets=data_cfg.max_targets,
+        flip_prob=data_cfg.flip_prob if split == "train" else 0.0,
+        flip_is_vertical=data_cfg.flip_is_vertical)
+    ann_file = f"{data_cfg.coco_path}/{split}.json"
+    root = f"{data_cfg.image_root}/{split}" if data_cfg.image_root else None
+    return CocoDetectionDataset(ann_file, root, pre,
+                                synthetic=data_cfg.synthetic)
