@@ -1,0 +1,65 @@
+"""Headline benchmark: 1024px tiles/sec/chip through the full detection
+pipeline (HFC + ViT-B encoder + decoder + postprocess + NMS), bf16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and no A100 is
+reachable from this environment, so the denominator is a documented analytic
+estimate of the PyTorch reference on A100: SAM ViT-B encoder ~40 ms/1024px
+image on A100 (from the SAM paper's ViT-H ~150 ms scaled by FLOPs), plus HFC
+FFT + decoder overhead -> ~25 tiles/sec. BASELINE.json's target is >=5x that
+(>=125 tiles/sec/chip on v5e).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REF_TILES_PER_SEC = 25.0
+
+
+def main():
+    from wildlifemapper_tpu.config import model_config
+    from wildlifemapper_tpu.eval.postprocess import batched_nms, postprocess
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = model_config("vit_b", dtype="bfloat16")
+    model = WildlifeMapper(cfg)
+    rng = np.random.default_rng(0)
+
+    batch = 8
+    x = jnp.asarray(rng.normal(size=(batch, 1024, 1024, 3)), jnp.float32)
+    orig = jnp.full((batch, 2), 1024, jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+
+    @jax.jit
+    def pipeline(params, images, orig_sizes):
+        out = model.apply(params, images)
+        dets = postprocess(out, orig_sizes, confidence_threshold=0.05)
+        dets["keep"] = batched_nms(dets["boxes"], dets["scores"],
+                                   dets["labels"], dets["keep"], 0.4,
+                                   class_aware=False)
+        return dets
+
+    jax.device_get(pipeline(params, x, orig))  # compile + warm
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = pipeline(params, x, orig)
+    jax.device_get(out)  # full sync (block_until_ready is unreliable here)
+    dt = (time.time() - t0) / n_iter
+    tiles_per_sec = batch / dt
+
+    print(json.dumps({
+        "metric": "1024px_tiles_per_sec_per_chip",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/sec",
+        "vs_baseline": round(tiles_per_sec / A100_REF_TILES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Per-epoch evaluation: forward + criterion logging + postprocess + COCO mAP.
+
+Behavioral parity target: inference.py:29-88 (evaluate): per batch run the
+model, log criterion losses, PostProcess at confidence 0.05, accumulate into
+the COCO evaluator keyed by image_id, then summarize the 12-stat suite.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.loader import DataLoader
+from ..train.metrics import MetricLogger
+from .coco_eval import CocoEvaluator
+from .postprocess import batched_nms, postprocess
+
+
+def evaluate(eval_step: Callable, params, loader: DataLoader,
+             gt_index, cfg: Config, epoch: int = 0,
+             apply_nms: bool = False, print_fn=print,
+             max_batches: Optional[int] = None) -> Dict[str, float]:
+    evaluator = CocoEvaluator(gt_index)
+    logger = MetricLogger(print_fn=print_fn)
+    jitted = jax.jit(eval_step)
+
+    n_batches = loader.batches_per_epoch()
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    batches = (b for i, b in enumerate(loader.epoch(epoch)) if i < n_batches)
+    for batch in logger.log_every(batches, 10, header="Eval:",
+                                  total=n_batches):
+        arrays = {k: batch[k] for k in ("image", "labels", "boxes", "valid")}
+        out, losses = jitted(params, arrays)
+        dets = postprocess(out, batch["orig_size"],
+                           cfg.eval.confidence_threshold,
+                           cfg.eval.hw_swap_compat)
+        if apply_nms:
+            dets["keep"] = batched_nms(dets["boxes"], dets["scores"],
+                                       dets["labels"], dets["keep"],
+                                       cfg.eval.nms_iou, class_aware=False)
+        dets = jax.device_get(dets)
+        logger.update(**{k: float(v) for k, v in losses.items()})
+
+        preds = {}
+        for i in range(len(batch["image_id"])):
+            if not batch["batch_valid"][i]:
+                continue
+            keep = np.asarray(dets["keep"][i])
+            preds[int(batch["image_id"][i])] = {
+                "scores": np.asarray(dets["scores"][i])[keep],
+                "labels": np.asarray(dets["labels"][i])[keep],
+                "boxes": np.asarray(dets["boxes"][i])[keep],
+            }
+        evaluator.update(preds)
+
+    evaluator.accumulate()
+    stats = evaluator.summarize()
+    evaluator.print_summary()
+    out_stats = {f"coco/{k}": v for k, v in stats.items()}
+    out_stats.update(logger.global_averages())
+    return out_stats

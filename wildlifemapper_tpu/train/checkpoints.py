@@ -1,0 +1,60 @@
+"""Orbax checkpointing (save/resume/best-tracking).
+
+Behavioral parity target: the reference saves {model, optimizer, epoch}
+every 40 epochs plus best_checkpoint.pth by lowest epoch train loss, rank-0
+only (train.py:344-372); resume restores the model strict=False and
+start_epoch (train.py:236-245). Here the full TrainState (params + optimizer
++ step) round-trips through orbax, process-0-gated for multi-host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 5):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.keep = keep
+
+    def _path(self, name) -> Path:
+        return self.directory / str(name)
+
+    def save(self, name, state_tree: Any, force: bool = True):
+        if jax.process_index() != 0:
+            return
+        path = self._path(name)
+        self._ckptr.save(path, jax.tree.map(np.asarray, state_tree),
+                         force=force)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, name, target: Any) -> Any:
+        return self._ckptr.restore(self._path(name), target)
+
+    def exists(self, name) -> bool:
+        return self._path(name).exists()
+
+    def save_epoch(self, epoch: int, state_tree: Any,
+                   every: int = 40, is_best: bool = False):
+        """Reference cadence: every N epochs + best-by-train-loss."""
+        if (epoch + 1) % every == 0:
+            self.save(f"checkpoint_epoch_{epoch}", state_tree)
+        if is_best:
+            self.save("best_checkpoint", state_tree)
+
+    def latest_epoch(self) -> Optional[int]:
+        epochs = []
+        for p in self.directory.glob("checkpoint_epoch_*"):
+            try:
+                epochs.append(int(p.name.rsplit("_", 1)[1]))
+            except ValueError:
+                pass
+        return max(epochs) if epochs else None

@@ -1,0 +1,117 @@
+"""The full training loop.
+
+Behavioral parity target: train.py:184-372 — epoch loop with per-iteration
+logging, NaN guard, per-epoch evaluation, StepLR (folded into the optax
+schedule), periodic + best checkpoints, optional wandb-style logging.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.loader import DataLoader, build_dataset
+from ..eval.evaluate import evaluate
+from ..parallel import mesh as mesh_lib
+from .checkpoints import CheckpointManager
+from .metrics import MetricLogger
+from .step import StepBuilder, TrainState
+
+
+def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = None,
+          mesh=None, logger_backend=None, print_fn=print,
+          resume: bool = False, init_checkpoint: Optional[str] = None,
+          max_steps_per_epoch: Optional[int] = None,
+          max_eval_batches: Optional[int] = None) -> Dict[str, float]:
+    """Run training; returns final stats. Designed to be importable (CLI is
+    a thin wrapper) and testable with tiny configs."""
+    epochs = epochs if epochs is not None else cfg.train.epochs
+
+    train_ds = build_dataset("train", cfg.data)
+    val_ds = build_dataset("val", cfg.data)
+    train_loader = DataLoader(
+        train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.train.seed,
+        drop_last=True, process_index=jax.process_index(),
+        process_count=jax.process_count())
+    val_loader = DataLoader(val_ds, cfg.data.batch_size, shuffle=False,
+                            drop_last=False,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
+
+    steps_per_epoch = train_loader.batches_per_epoch()
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    builder = StepBuilder(cfg, mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    params = builder.init_params(rng)
+
+    if init_checkpoint:  # torch .pth (SAM or trained WM) starting point
+        from ..compat.torch_convert import convert_checkpoint
+        params, report = convert_checkpoint(init_checkpoint, params,
+                                            depth=cfg.model.vit.depth)
+        print_fn(f"loaded {len(report['loaded'])} tensors from "
+                 f"{init_checkpoint}; kept init for {len(report['missing'])}")
+
+    state = builder.init_state(params, steps_per_epoch)
+    ckpt = CheckpointManager(workdir)
+    start_epoch = 0
+    if resume and ckpt.latest_epoch() is not None:
+        ep = ckpt.latest_epoch()
+        state = ckpt.restore(f"checkpoint_epoch_{ep}", state)
+        start_epoch = ep + 1
+        print_fn(f"resumed from epoch {ep}")
+
+    if mesh is not None:
+        state = builder.place(state)
+    train_step = builder.jit_train_step()
+    eval_step = builder.eval_step_fn()
+    dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    best_loss = float("inf")
+    stats: Dict[str, float] = {}
+    for epoch in range(start_epoch, epochs):
+        logger = MetricLogger(print_fn=print_fn)
+        t0 = time.time()
+        it = iter(train_loader.epoch(epoch))
+        for step_i, batch in enumerate(
+                logger.log_every(it, 50, header=f"Epoch: [{epoch}]",
+                                 total=steps_per_epoch)):
+            if step_i >= steps_per_epoch:
+                break
+            arrays = {k: batch[k] for k in ("image", "labels", "boxes", "valid")}
+            state, metrics = train_step(state, arrays, dropout_rng)
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            if not np.isfinite(metrics["loss"]):
+                # reference: print + sys.exit(1) on non-finite loss
+                # (train.py:285-288)
+                print_fn(f"Loss is {metrics['loss']}, stopping training")
+                sys.exit(1)
+            logger.update(**metrics)
+            if logger_backend and step_i % 50 == 0:
+                logger_backend.log_batch(epoch, step_i, metrics)
+
+        epoch_stats = logger.global_averages()
+        epoch_loss = epoch_stats.get("loss", float("inf"))
+        print_fn(f"Epoch {epoch} done in {time.time()-t0:.1f}s  "
+                 f"loss={epoch_loss:.4f}")
+
+        val_stats = evaluate(eval_step, state.params, val_loader,
+                             val_ds.index, cfg, epoch=epoch, print_fn=print_fn,
+                             max_batches=max_eval_batches)
+        stats = {**{f"train/{k}": v for k, v in epoch_stats.items()},
+                 **{f"val/{k}": v for k, v in val_stats.items()}}
+        if logger_backend:
+            logger_backend.log_epoch(epoch, stats)
+
+        is_best = epoch_loss < best_loss
+        best_loss = min(best_loss, epoch_loss)
+        ckpt.save_epoch(epoch, jax.device_get(state),
+                        every=cfg.train.checkpoint_every, is_best=is_best)
+
+    return stats
