@@ -26,7 +26,7 @@ def main():
     from wildlifemapper_tpu.eval.postprocess import batched_nms, postprocess
     from wildlifemapper_tpu.models import WildlifeMapper
 
-    cfg = model_config("vit_b", dtype="bfloat16")
+    cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True)
     model = WildlifeMapper(cfg)
     rng = np.random.default_rng(0)
 

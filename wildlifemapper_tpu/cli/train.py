@@ -1,0 +1,139 @@
+"""Training CLI.
+
+Behavioral parity target: wildlifemapper/train.py's argparse surface
+(train.py:46-115) mapped onto the typed Config; plus flags the reference
+hardcodes (ce weight, queries, resize, canvas, hfc rate, image dirs).
+
+Usage:
+  python -m wildlifemapper_tpu.cli.train --coco_path ... --image_root ... \
+      [--model_type vit_b] [--epochs 550] [--batch_size 6] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ..config import (Config, DataConfig, EvalConfig, HFCConfig,
+                      MatchCriterionConfig, MeshConfig, TrainConfig,
+                      model_config)
+
+
+def add_config_args(p: argparse.ArgumentParser):
+    p.add_argument("--model_type", default="vit_b",
+                   choices=["vit_b", "vit_l", "vit_h"])
+    p.add_argument("--coco_path", default="/root/reference/coco_annotations")
+    p.add_argument("--image_root", default="")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="use generated tiles when image files are absent")
+    p.add_argument("--checkpoint", default=None,
+                   help="torch .pth init (SAM or trained WM)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--work_dir", default="checkpoints")
+    # optimization (reference defaults, train.py:62-101)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=550)
+    p.add_argument("--lr_drop", type=int, default=40)
+    p.add_argument("--clip_max_norm", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use_amp", action="store_true",
+                   help="bf16 compute (the reference's flag is inert; ours works)")
+    # matcher / criterion (train.py:72-85)
+    p.add_argument("--set_cost_class", type=float, default=1)
+    p.add_argument("--set_cost_bbox", type=float, default=5)
+    p.add_argument("--set_cost_giou", type=float, default=2)
+    p.add_argument("--ce_loss_coef", type=float, default=3)
+    p.add_argument("--bbox_loss_coef", type=float, default=5)
+    p.add_argument("--giou_loss_coef", type=float, default=2)
+    p.add_argument("--eos_coef", type=float, default=0.1)
+    p.add_argument("--max_targets", type=int, default=64)
+    # data/aug
+    p.add_argument("--resize_size", type=int, default=768)
+    p.add_argument("--canvas_size", type=int, default=1024)
+    p.add_argument("--flip_prob", type=float, default=0.5)
+    p.add_argument("--true_horizontal_flip", action="store_true",
+                   help="fix the reference's vertical-flip quirk")
+    p.add_argument("--mosaic", action="store_true")
+    # model knobs the reference hardcodes
+    p.add_argument("--num_queries", type=int, default=51)
+    p.add_argument("--hfc_rate", type=float, default=0.125)
+    p.add_argument("--no_flash_attention", action="store_true")
+    # eval
+    p.add_argument("--confidence_threshold", type=float, default=0.05)
+    p.add_argument("--fix_hw_swap", action="store_true",
+                   help="fix the reference's PostProcess h/w swap")
+    # parallelism
+    p.add_argument("--model_parallel", type=int, default=1)
+    # logging
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", default="wildlifemapper-tpu")
+    p.add_argument("--run_name", default=None)
+    return p
+
+
+def config_from_args(args) -> Config:
+    model = model_config(
+        args.model_type,
+        dtype="bfloat16" if args.use_amp else "float32",
+        use_flash_attention=not args.no_flash_attention)
+    model = dataclasses.replace(
+        model,
+        img_size=args.canvas_size,
+        hfc=dataclasses.replace(model.hfc, rate=args.hfc_rate),
+        decoder=dataclasses.replace(model.decoder,
+                                    num_queries=args.num_queries))
+    return Config(
+        model=model,
+        criterion=MatchCriterionConfig(
+            set_cost_class=args.set_cost_class,
+            set_cost_bbox=args.set_cost_bbox,
+            set_cost_giou=args.set_cost_giou,
+            ce_loss_coef=args.ce_loss_coef,
+            bbox_loss_coef=args.bbox_loss_coef,
+            giou_loss_coef=args.giou_loss_coef,
+            eos_coef=args.eos_coef, max_targets=args.max_targets),
+        data=DataConfig(
+            coco_path=args.coco_path, image_root=args.image_root,
+            resize_size=args.resize_size, canvas_size=args.canvas_size,
+            flip_prob=args.flip_prob,
+            flip_is_vertical=not args.true_horizontal_flip,
+            use_mosaic=args.mosaic, max_targets=args.max_targets,
+            batch_size=args.batch_size, synthetic=args.synthetic_data),
+        train=TrainConfig(
+            lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
+            lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,
+            seed=args.seed, use_amp=args.use_amp),
+        eval=EvalConfig(confidence_threshold=args.confidence_threshold,
+                        hw_swap_compat=not args.fix_hw_swap),
+        mesh=MeshConfig(model_parallel_size=args.model_parallel),
+    )
+
+
+def main(argv=None):
+    args = add_config_args(argparse.ArgumentParser(__doc__)).parse_args(argv)
+    cfg = config_from_args(args)
+
+    from ..parallel import mesh as mesh_lib
+    from ..train.logging import setup_logger
+    from ..train.loop import train
+
+    mesh = None
+    import jax
+    if len(jax.devices()) > 1 or args.model_parallel > 1:
+        mesh = mesh_lib.make_mesh(model_parallel=args.model_parallel)
+
+    logger = setup_logger(args.use_wandb, args.work_dir, config=cfg,
+                          project=args.wandb_project, run_name=args.run_name)
+    try:
+        stats = train(cfg, workdir=args.work_dir, mesh=mesh,
+                      logger_backend=logger, resume=args.resume,
+                      init_checkpoint=args.checkpoint)
+        logger.log_summary(stats)
+    finally:
+        logger.finish()
+
+
+if __name__ == "__main__":
+    main()
