@@ -46,8 +46,57 @@ class CocoDetectionDataset:
     def __len__(self):
         return len(self.index)
 
+    def _raw(self, i: int):
+        """Load (resized uint8 array, xyxy boxes, labels, orig_size) for one
+        index — the mosaic building block."""
+        from .transforms import (resize_image_and_boxes,
+                                 target_from_annotations)
+
+        image_id = self.index.ids[i]
+        info = self.index.image_info(image_id)
+        path = self.index.image_path(image_id, self.image_root)
+        anns = self.index.annotations(image_id)
+        if path is not None:
+            img = Image.open(path)
+        elif self.synthetic:
+            w0, h0 = info.get("width", 1024), info.get("height", 1024)
+            w = self.synthetic_size or w0
+            h = self.synthetic_size or h0
+            img = _synthetic_image(image_id, w, h)
+            if (w, h) != (w0, h0):
+                sx, sy = w / w0, h / h0
+                anns = [dict(a, bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
+                                      a["bbox"][2] * sx, a["bbox"][3] * sy])
+                        for a in anns]
+        else:
+            raise FileNotFoundError(
+                f"image {info['file_name']} not found under {self.image_root}; "
+                "pass synthetic=True to use generated tiles")
+        tgt = target_from_annotations(anns, *img.size)
+        resized, boxes, size_hw = resize_image_and_boxes(
+            img, tgt["boxes"], self.preprocess.resize_size,
+            self.preprocess.resize_size)
+        arr = np.asarray(resized.convert("RGB"), dtype=np.uint8)
+        return arr, boxes, tgt["labels"], tgt["orig_size"], image_id
+
+    def _get_mosaic(self, i: int, rng: np.random.Generator):
+        from .mosaic import make_mosaic
+        from .transforms import finish_example
+
+        idxs = [i] + [int(j) for j in rng.integers(0, len(self), 3)]
+        rng.shuffle(idxs)
+        raws = [self._raw(j) for j in idxs]
+        s = self.preprocess.resize_size
+        img, tgt = make_mosaic(
+            [r[0] for r in raws],
+            [{"boxes": r[1], "labels": r[2]} for r in raws], s, rng)
+        return finish_example(img, tgt["boxes"], tgt["labels"], raws[0][4],
+                              raws[0][3], (s, s), self.preprocess, rng)
+
     def get(self, i: int, rng: Optional[np.random.Generator] = None
             ) -> Dict[str, np.ndarray]:
+        if self.preprocess.use_mosaic and rng is not None:
+            return self._get_mosaic(i, rng)
         image_id = self.index.ids[i]
         info = self.index.image_info(image_id)
         path = self.index.image_path(image_id, self.image_root)
@@ -154,7 +203,8 @@ def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:
         resize_size=data_cfg.resize_size, canvas_size=data_cfg.canvas_size,
         max_targets=data_cfg.max_targets,
         flip_prob=data_cfg.flip_prob if split == "train" else 0.0,
-        flip_is_vertical=data_cfg.flip_is_vertical)
+        flip_is_vertical=data_cfg.flip_is_vertical,
+        use_mosaic=data_cfg.use_mosaic if split == "train" else False)
     ann_file = f"{data_cfg.coco_path}/{split}.json"
     root = f"{data_cfg.image_root}/{split}" if data_cfg.image_root else None
     return CocoDetectionDataset(ann_file, root, pre,

@@ -141,6 +141,30 @@ class PreprocessConfig:
     max_targets: int = 64
     flip_prob: float = 0.0
     flip_is_vertical: bool = True
+    use_mosaic: bool = False
+
+
+def finish_example(arr_u8: np.ndarray, boxes_xyxy: np.ndarray,
+                   labels: np.ndarray, image_id: int, orig_size: np.ndarray,
+                   size_hw, cfg: PreprocessConfig,
+                   rng: Optional[np.random.Generator] = None
+                   ) -> Dict[str, np.ndarray]:
+    """Shared tail of the pipeline: normalize, box-normalize, flip, pad."""
+    arr = normalize_image(arr_u8)
+    boxes = boxes_to_normalized_cxcywh(boxes_xyxy, size_hw)
+    if cfg.flip_prob > 0 and rng is not None and rng.random() < cfg.flip_prob:
+        arr, boxes = flip(arr, boxes, cfg.flip_is_vertical)
+    arr = pad_to_canvas(arr, cfg.canvas_size)
+    pboxes, plabels, valid = pad_targets(boxes, labels, cfg.max_targets)
+    return {
+        "image": arr,
+        "boxes": pboxes,
+        "labels": plabels,
+        "valid": valid,
+        "image_id": np.asarray(image_id, dtype=np.int64),
+        "orig_size": np.asarray(orig_size, dtype=np.int32),
+        "size": np.asarray(size_hw, dtype=np.int32),
+    }
 
 
 def preprocess_example(img: Image.Image, anns, image_id: int,
@@ -153,18 +177,5 @@ def preprocess_example(img: Image.Image, anns, image_id: int,
     resized, boxes_xyxy, size_hw = resize_image_and_boxes(
         img, tgt["boxes"], cfg.resize_size, cfg.resize_size)
     arr = np.asarray(resized.convert("RGB"), dtype=np.uint8)
-    arr = normalize_image(arr)
-    boxes = boxes_to_normalized_cxcywh(boxes_xyxy, size_hw)
-    if cfg.flip_prob > 0 and rng is not None and rng.random() < cfg.flip_prob:
-        arr, boxes = flip(arr, boxes, cfg.flip_is_vertical)
-    arr = pad_to_canvas(arr, cfg.canvas_size)
-    pboxes, plabels, valid = pad_targets(boxes, tgt["labels"], cfg.max_targets)
-    return {
-        "image": arr,
-        "boxes": pboxes,
-        "labels": plabels,
-        "valid": valid,
-        "image_id": np.asarray(image_id, dtype=np.int64),
-        "orig_size": tgt["orig_size"],
-        "size": np.asarray(size_hw, dtype=np.int32),
-    }
+    return finish_example(arr, boxes_xyxy, tgt["labels"], image_id,
+                          tgt["orig_size"], size_hw, cfg, rng)

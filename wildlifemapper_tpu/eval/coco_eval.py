@@ -116,27 +116,34 @@ class CocoEvaluator:
 
         ious = iou_xyxy(dboxes, gboxes, gcrowd)
         T, D, G = len(IOU_THRS), len(dscores), len(gboxes)
-        dtm = np.zeros((T, D), dtype=np.int64)
-        gtm = np.zeros((T, G), dtype=np.int64)
-        dt_ig = np.zeros((T, D), dtype=bool)
-        for ti, thr in enumerate(IOU_THRS):
-            for d in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                m = -1
-                for g in range(G):
-                    if gtm[ti, g] > 0 and not gcrowd[g]:
+        native_result = None
+        if D and G:
+            from .. import native
+            native_result = native.coco_match(ious, IOU_THRS, g_ignore, gcrowd)
+        if native_result is not None:
+            dtm, dt_ig, gtm = native_result
+        else:
+            dtm = np.zeros((T, D), dtype=np.int64)
+            gtm = np.zeros((T, G), dtype=np.int64)
+            dt_ig = np.zeros((T, D), dtype=bool)
+            for ti, thr in enumerate(IOU_THRS):
+                for d in range(D):
+                    best_iou = min(thr, 1 - 1e-10)
+                    m = -1
+                    for g in range(G):
+                        if gtm[ti, g] > 0 and not gcrowd[g]:
+                            continue
+                        if m > -1 and not g_ignore[m] and g_ignore[g]:
+                            break  # ran past all non-ignored candidates
+                        if ious[d, g] < best_iou:
+                            continue
+                        best_iou = ious[d, g]
+                        m = g
+                    if m == -1:
                         continue
-                    if m > -1 and not g_ignore[m] and g_ignore[g]:
-                        break  # ran past all non-ignored candidates
-                    if ious[d, g] < best_iou:
-                        continue
-                    best_iou = ious[d, g]
-                    m = g
-                if m == -1:
-                    continue
-                dt_ig[ti, d] = g_ignore[m]
-                dtm[ti, d] = m + 1
-                gtm[ti, m] = d + 1
+                    dt_ig[ti, d] = g_ignore[m]
+                    dtm[ti, d] = m + 1
+                    gtm[ti, m] = d + 1
         out_of_rng = (dareas < area_rng[0]) | (dareas > area_rng[1])
         dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
         return {

@@ -92,10 +92,8 @@ class RelPosAttention(nn.Module):
             attn = jnp.einsum("bqc,bkc->bqk", q * scale, k,
                               preferred_element_type=jnp.float32)
             if rel_h is not None:
-                attn = (attn.reshape(-1, h, w, h, w)
-                        + rel_h[..., :, None].astype(jnp.float32)
-                        + rel_w[..., None, :].astype(jnp.float32)
-                        ).reshape(-1, h * w, h * w)
+                attn = rel_pos_ops.add_decomposed_rel_pos_matmul(
+                    attn, rel_h, rel_w, (h, w))
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bqk,bkc->bqc", attn, v)
 

@@ -63,9 +63,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, l_ref, m_ref,
                 *, scale: float, bk: int, h: int, w: int):
     n, d = k_ref.shape
     bq = q_ref.shape[0]
-    q = q_ref[:].astype(jnp.float32)
-    rh = rh_ref[:].astype(jnp.float32)     # (bq, w)
-    rw = rw_ref[:].astype(jnp.float32)     # (bq, w)
+    # MXU inputs stay in the storage dtype (bf16 on the fast path) with f32
+    # accumulation; only softmax state is f32.
+    q = q_ref[:]
+    in_dt = q.dtype
+    rh = rh_ref[:].astype(in_dt)           # (bq, h)
+    rw = rw_ref[:].astype(in_dt)           # (bq, w)
 
     m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
@@ -74,12 +77,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, l_ref, m_ref,
     def body(i, carry):
         m, l, acc = carry
         k0 = i * bk
-        k_blk = k_ref[pl.ds(k0, bk), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(k0, bk), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(k0, bk), :]
+        v_blk = v_ref[pl.ds(k0, bk), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        e, t = _expansion_mats(h, w, bk, k0, jnp.float32)
+        e, t = _expansion_mats(h, w, bk, k0, in_dt)
         s = s + jnp.dot(rh, e, preferred_element_type=jnp.float32)
         s = s + jnp.dot(rw, t, preferred_element_type=jnp.float32)
 
@@ -87,7 +90,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, l_ref, m_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk,
+        acc = acc * alpha + jnp.dot(p.astype(in_dt), v_blk,
                                     preferred_element_type=jnp.float32)
         return m_new, l, acc
 
@@ -104,13 +107,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, do_ref,
     dq/drh/drw locally and dk/dv into (shared-output) accumulators."""
     n, d = k_ref.shape
     bq = q_ref.shape[0]
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    q = q_ref[:]
+    in_dt = q.dtype
+    do = do_ref[:].astype(in_dt)
     o = o_ref[:].astype(jnp.float32)
     lse = lse_ref[:]                         # (bq, 1) logsumexp
-    rh = rh_ref[:].astype(jnp.float32)
-    rw = rw_ref[:].astype(jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    rh = rh_ref[:].astype(in_dt)
+    rw = rw_ref[:].astype(in_dt)
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
 
     # first q-block of this bh zeroes the K/V accumulators
     @pl.when(pl.program_id(1) == 0)
@@ -125,17 +129,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, do_ref,
     def body(i, carry):
         dq, drh, drw = carry
         k0 = i * bk
-        k_blk = k_ref[pl.ds(k0, bk), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(k0, bk), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(k0, bk), :]
+        v_blk = v_ref[pl.ds(k0, bk), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        e, t = _expansion_mats(h, w, bk, k0, jnp.float32)
+        e, t = _expansion_mats(h, w, bk, k0, in_dt)
         s = s + jnp.dot(rh, e, preferred_element_type=jnp.float32)
         s = s + jnp.dot(rw, t, preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)                                   # (bq, bk)
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)                                  # (bq, bk)
+        ds = (p * (dp - delta)).astype(in_dt)                  # (bq, bk)
+        p_lo = p.astype(in_dt)
 
         dq = dq + jnp.dot(ds, k_blk,
                           preferred_element_type=jnp.float32) * scale
@@ -144,7 +149,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, do_ref,
         dk_ref[pl.ds(k0, bk), :] += jnp.dot(
             ds.T, q, preferred_element_type=jnp.float32) * scale
         dv_ref[pl.ds(k0, bk), :] += jnp.dot(
-            p.T, do, preferred_element_type=jnp.float32)
+            p_lo.T, do, preferred_element_type=jnp.float32)
         return dq, drh, drw
 
     dq, drh, drw = jax.lax.fori_loop(0, n // bk, body, (dq, drh, drw))

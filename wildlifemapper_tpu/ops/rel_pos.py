@@ -74,6 +74,42 @@ def decomposed_rel_pos_tables(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
     return rel_h, rel_w
 
 
+@functools.lru_cache(maxsize=32)
+def _expansion_mats_np(kh: int, kw: int):
+    """0/1 matrices turning the axial bias into two matmuls:
+    bias[q, kh*KW + kw] = rel_h[q, kh] + rel_w[q, kw]
+      = (rel_h @ E + rel_w @ T)[q, :]  with
+    E[r, j] = [j // KW == r] (kh, kh*kw), T[r, j] = [j % KW == r] (kw, kh*kw).
+
+    Avoids reshaping attention to a 5D (.., kh, kw) layout whose tiny
+    trailing dims get padded to the (8, 128) TPU tile — the naive broadcast
+    add costs ~10x the bandwidth of these two small matmuls.
+    """
+    j = np.arange(kh * kw)
+    e = (j[None, :] // kw == np.arange(kh)[:, None]).astype(np.float32)
+    t = (j[None, :] % kw == np.arange(kw)[:, None]).astype(np.float32)
+    return e, t
+
+
+def add_decomposed_rel_pos_matmul(attn: jnp.ndarray, rel_h: jnp.ndarray,
+                                  rel_w: jnp.ndarray, k_hw) -> jnp.ndarray:
+    """attn (B*, N, kh*kw) += bias via expansion matmuls.
+
+    rel_h: (B*, qh, qw, kh) / rel_w: (B*, qh, qw, kw) from
+    decomposed_rel_pos_tables.
+    """
+    kh, kw = k_hw
+    bstar, n, _ = attn.shape
+    e, t = _expansion_mats_np(kh, kw)
+    e = jnp.asarray(e, dtype=rel_h.dtype)
+    t = jnp.asarray(t, dtype=rel_w.dtype)
+    bias = (jnp.einsum("bqh,hk->bqk", rel_h.reshape(bstar, n, kh), e,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bqw,wk->bqk", rel_w.reshape(bstar, n, kw), t,
+                         preferred_element_type=jnp.float32))
+    return attn + bias
+
+
 def add_decomposed_rel_pos(attn: jnp.ndarray, q: jnp.ndarray,
                            rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
                            q_hw, k_hw) -> jnp.ndarray:
