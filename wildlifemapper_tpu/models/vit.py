@@ -85,9 +85,15 @@ class RelPosAttention(nn.Module):
                 q, rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype),
                 (h, w), (h, w))
 
-        if self.use_flash:
+        if self.use_flash and h * w >= 1024:
             from ..ops.flash_attention import flash_attention_rel_pos
             out = flash_attention_rel_pos(q, k, v, rel_h, rel_w, scale, (h, w))
+        elif self.use_flash and rel_h is not None:
+            # small-window path: whole-window VMEM kernel, no online softmax
+            from ..ops.windowed_attention import windowed_attention_rel_pos
+            out = windowed_attention_rel_pos(
+                q, k, v, rel_h.reshape(-1, h * w, h), rel_w.reshape(-1, h * w, w),
+                scale, (h, w))
         else:
             attn = jnp.einsum("bqc,bkc->bqk", q * scale, k,
                               preferred_element_type=jnp.float32)
@@ -130,7 +136,7 @@ class Block(nn.Module):
         x = RelPosAttention(dim=self.dim, num_heads=self.num_heads,
                             input_size=attn_size, qkv_bias=self.qkv_bias,
                             use_rel_pos=self.use_rel_pos,
-                            use_flash=self.use_flash and self.window_size == 0,
+                            use_flash=self.use_flash,
                             dtype=self.dtype, name="attn")(x)
 
         if self.window_size > 0:
