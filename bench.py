@@ -29,11 +29,8 @@ def main():
     cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True)
     model = WildlifeMapper(cfg)
     rng = np.random.default_rng(0)
-
-    batch = 8
-    x = jnp.asarray(rng.normal(size=(batch, 1024, 1024, 3)), jnp.float32)
-    orig = jnp.full((batch, 2), 1024, jnp.int32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3), jnp.float32))
 
     @jax.jit
     def pipeline(params, images, orig_sizes):
@@ -44,14 +41,21 @@ def main():
                                    class_aware=False)
         return dets
 
-    jax.device_get(pipeline(params, x, orig))  # compile + warm
-    n_iter = 10
-    t0 = time.time()
-    for _ in range(n_iter):
-        out = pipeline(params, x, orig)
-    jax.device_get(out)  # full sync (block_until_ready is unreliable here)
-    dt = (time.time() - t0) / n_iter
-    tiles_per_sec = batch / dt
+    tiles_per_sec = 0.0
+    for batch in (8, 16):
+        x = jnp.asarray(rng.normal(size=(batch, 1024, 1024, 3)), jnp.float32)
+        orig = jnp.full((batch, 2), 1024, jnp.int32)
+        try:
+            jax.device_get(pipeline(params, x, orig))  # compile + warm
+        except Exception:
+            continue
+        n_iter = 10
+        t0 = time.time()
+        for _ in range(n_iter):
+            out = pipeline(params, x, orig)
+        jax.device_get(out)  # full sync (block_until_ready lies over axon)
+        dt = (time.time() - t0) / n_iter
+        tiles_per_sec = max(tiles_per_sec, batch / dt)
 
     print(json.dumps({
         "metric": "1024px_tiles_per_sec_per_chip",

@@ -1,0 +1,67 @@
+"""torch->jax converter unit tests (surgery, prefixes, merge semantics)."""
+
+import numpy as np
+
+from wildlifemapper_tpu.compat.torch_convert import (apply_sam_surgery,
+                                                     map_torch_keys,
+                                                     merge_into_params,
+                                                     strip_prefixes)
+
+
+def test_strip_prefixes():
+    sd = {"module.image_encoder.pos_embed": 1, "image_encoder.x": 2}
+    out = strip_prefixes(sd)
+    assert "image_encoder.pos_embed" in out and "image_encoder.x" in out
+
+
+def test_sam_surgery_drops_decoder_heads():
+    sd = {
+        "mask_decoder.iou_token.weight": 0,
+        "mask_decoder.mask_tokens.weight": 0,
+        "mask_decoder.transformer.layers.0.self_attn.q_proj.weight": 0,
+        "mask_decoder.output_upscaling.0.weight": 0,
+        "image_encoder.pos_embed": 0,
+    }
+    out = apply_sam_surgery(sd)
+    # keep only mask_decoder keys containing 'transformer', plus everything
+    # else (build_sam.py:314-320)
+    assert "mask_decoder.transformer.layers.0.self_attn.q_proj.weight" in out
+    assert "mask_decoder.iou_token.weight" not in out
+    assert "mask_decoder.mask_tokens.weight" not in out
+    assert "mask_decoder.output_upscaling.0.weight" not in out
+    assert "image_encoder.pos_embed" in out
+
+
+def test_merge_keeps_init_for_missing(rng):
+    params = {"params": {"a": {"kernel": np.zeros((2, 3))},
+                         "b": {"bias": np.ones(4)}}}
+    mapped = {"a/kernel": rng.normal(size=(2, 3)).astype(np.float32)}
+    new, rpt = merge_into_params(params, mapped)
+    assert rpt["loaded"] == ["a/kernel"]
+    assert rpt["missing"] == ["b/bias"]
+    np.testing.assert_array_equal(new["params"]["b"]["bias"], np.ones(4))
+    np.testing.assert_allclose(new["params"]["a"]["kernel"],
+                               mapped["a/kernel"])
+
+
+def test_merge_rejects_shape_mismatch(rng):
+    import pytest
+
+    params = {"params": {"a": {"kernel": np.zeros((2, 3))}}}
+    with pytest.raises(ValueError):
+        merge_into_params(params, {"a/kernel": np.zeros((3, 2))})
+
+
+def test_mha_packed_split():
+    e = 4
+    w = np.arange(3 * e * e, dtype=np.float32).reshape(3 * e, e)
+    b = np.arange(3 * e, dtype=np.float32)
+    sd = {"image_encoder.hfc_attn.cross_attn.in_proj_weight": w,
+          "image_encoder.hfc_attn.cross_attn.in_proj_bias": b,
+          "image_encoder.hfc_attn.cross_attn.out_proj.weight": np.eye(e),
+          "image_encoder.hfc_attn.cross_attn.out_proj.bias": np.zeros(e)}
+    out = map_torch_keys(sd, depth=0)
+    np.testing.assert_array_equal(
+        out["image_encoder/hfc_attn/cross_attn/q_proj/kernel"], w[:e].T)
+    np.testing.assert_array_equal(
+        out["image_encoder/hfc_attn/cross_attn/v_proj/bias"], b[2 * e:])

@@ -26,11 +26,14 @@ Dtype = Any
 class MultiheadAttention(nn.Module):
     """Plain softmax MHA matching torch.nn.MultiheadAttention semantics
     (packed qkv projection + out projection, scale = head_dim^-0.5,
-    dropout on attention weights)."""
+    dropout on attention weights). With use_flash, the deterministic path
+    routes through the Pallas flash kernel (zero rel-pos bias) so the
+    (B, heads, N, N) score matrix never materializes."""
 
     dim: int
     num_heads: int
     dropout: float = 0.0
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,6 +45,26 @@ class MultiheadAttention(nn.Module):
         q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(value)
+
+        use_flash = (self.use_flash and nq == nk
+                     and (self.dropout == 0.0 or deterministic))
+        if use_flash:
+            from ..ops.flash_attention import flash_attention_rel_pos
+
+            grid = int(nk ** 0.5)
+            if grid * grid == nk:
+                qh = q.reshape(b, nq, self.num_heads, hd
+                               ).transpose(0, 2, 1, 3).reshape(-1, nq, hd)
+                kh = k.reshape(b, nk, self.num_heads, hd
+                               ).transpose(0, 2, 1, 3).reshape(-1, nk, hd)
+                vh = v.reshape(b, nk, self.num_heads, hd
+                               ).transpose(0, 2, 1, 3).reshape(-1, nk, hd)
+                zeros = jnp.zeros((qh.shape[0], nq, grid), qh.dtype)
+                out = flash_attention_rel_pos(qh, kh, vh, zeros, zeros,
+                                              hd ** -0.5, (grid, grid))
+                out = out.reshape(b, self.num_heads, nq, hd
+                                  ).transpose(0, 2, 1, 3).reshape(b, nq, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
         q = q.reshape(b, nq, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, nk, self.num_heads, hd).transpose(0, 2, 1, 3)
@@ -64,6 +87,7 @@ class CrossAttentionHfcPatch(nn.Module):
     ffn_dim: int = 1024
     dropout: float = 0.1
     grid_size: int = 64
+    use_flash: bool = False
     # The reference reinterprets the (B, HW, F) token tensor as (B, F, H, W)
     # *without a transpose* before proj_back (`.reshape(b, -1, h, w)`,
     # image_encoder.py:512) — scrambling tokens across channels. The released
@@ -96,7 +120,8 @@ class CrossAttentionHfcPatch(nn.Module):
         patch = patch.reshape(b, g * g, self.proj_dim)
 
         src2 = MultiheadAttention(dim=self.proj_dim, num_heads=self.num_heads,
-                                  dropout=self.dropout, dtype=self.dtype,
+                                  dropout=self.dropout,
+                                  use_flash=self.use_flash, dtype=self.dtype,
                                   name="cross_attn")(
                                       patch, hfc, hfc, deterministic=deterministic)
         src2 = nn.Dropout(rate=self.dropout)(src2, deterministic=deterministic)

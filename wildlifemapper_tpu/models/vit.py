@@ -213,6 +213,7 @@ class ImageEncoderViT(nn.Module):
             d_model=self.embed_dim, proj_dim=self.hfc_proj_dim,
             num_heads=self.hfc_num_heads, ffn_dim=self.hfc_ffn_dim,
             dropout=self.hfc_dropout, grid_size=grid,
+            use_flash=self.use_flash,
             dtype=self.dtype, name="hfc_attn")(
                 hfc_emb, x, deterministic=deterministic)
         x = adaptor_out + x

@@ -59,15 +59,41 @@ def _expansion_mats(h: int, w: int, bk: int, k0, dtype):
     return e, t
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, l_ref, m_ref,
+def _bias_tile(rhT_ref, rw, k0, bk: int, w: int):
+    """(bq, bk) f32 bias tile for keys [k0, k0+bk).
+
+    bias[q, j] = rh[q, (k0+j)//w] + rw[q, (k0+j)%w]. The naive E/T expansion
+    matmuls cost two extra QK^T-sized MXU passes (K = w ~ head_dim), doubling
+    kernel FLOPs; instead the kw part tiles rw with pltpu.repeat (pure VPU
+    copy) and the kh part contracts only over `rows` = bk/w (<= 8) — ~6% of
+    the QK cost. rel_h arrives *transposed* as (h, bq) so the per-tile row
+    slice hits the 8-granular sublane dim (lane-dim dynamic slices must be
+    128-aligned on TPU). Requires k0 % w == 0 and bk % w == 0 (true for
+    power-of-two blocks over the 64-wide grid).
+    """
+    rows = bk // w
+    r0 = pl.multiple_of(k0 // w, rows)
+    rh_slice = rhT_ref[pl.ds(r0, rows), :].astype(jnp.float32)  # (rows, bq)
+    # element-repeat each row-value w times: tiny K=rows matmul
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0)
+    e_small = (j // w == r).astype(jnp.float32)
+    rh_rep = jax.lax.dot_general(
+        rh_slice, e_small, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (bq, bk)
+    rw_tile = pltpu.repeat(rw.astype(jnp.float32), rows, axis=1)  # tile
+    return rh_rep + rw_tile
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, rhT_ref, rw_ref, o_ref, l_ref, m_ref,
                 *, scale: float, bk: int, h: int, w: int):
     n, d = k_ref.shape
     bq = q_ref.shape[0]
     # MXU inputs stay in the storage dtype (bf16 on the fast path) with f32
-    # accumulation; only softmax state is f32.
+    # accumulation; only softmax state is f32. rel_h arrives transposed
+    # (h, bq) — see _bias_tile.
     q = q_ref[:]
     in_dt = q.dtype
-    rh = rh_ref[:].astype(in_dt)           # (bq, h)
     rw = rw_ref[:].astype(in_dt)           # (bq, w)
 
     m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
@@ -82,9 +108,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, l_ref, m_ref,
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        e, t = _expansion_mats(h, w, bk, k0, in_dt)
-        s = s + jnp.dot(rh, e, preferred_element_type=jnp.float32)
-        s = s + jnp.dot(rw, t, preferred_element_type=jnp.float32)
+        if bk % w == 0:
+            s = s + _bias_tile(rhT_ref, rw, k0, bk, w)
+        else:  # irregular grids (tests): expansion-matmul fallback
+            e, t = _expansion_mats(h, w, bk, k0, in_dt)
+            rh = rhT_ref[:].astype(in_dt).swapaxes(0, 1)   # (bq, h)
+            s = s + jnp.dot(rh, e, preferred_element_type=jnp.float32)
+            s = s + jnp.dot(rw, t, preferred_element_type=jnp.float32)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -191,6 +221,7 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, grid_hw):
     assert h * w == n, (h, w, n)
     rel_h = rel_h.reshape(bh, n, h)
     rel_w = rel_w.reshape(bh, n, w)
+    rel_h_t = rel_h.swapaxes(1, 2)  # (bh, h, n): sublane-sliceable in-kernel
     bq, bk = _block_sizes(n)
 
     grid = (bh, n // bq)
@@ -202,7 +233,7 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, grid_hw):
             pl.BlockSpec((None, bq, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, bq, h), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, h, bq), lambda b, i: (b, 0, i)),
             pl.BlockSpec((None, bq, w), lambda b, i: (b, i, 0)),
         ],
         out_specs=[
@@ -216,7 +247,7 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, grid_hw):
             jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(q, k, v, rel_h, rel_w)
+    )(q, k, v, rel_h_t, rel_w)
     lse = m + jnp.log(l)
     return out, (q, k, v, rel_h, rel_w, out, lse)
 

@@ -38,6 +38,16 @@ def _batched_dot(a, b, dims, out_dtype=jnp.float32):
                                preferred_element_type=out_dtype)
 
 
+def _bias_full(rh, rw, e, t):
+    """(G, N, N) bias via the two K=h/K=w expansion matmuls (h, w <= 14 —
+    ~20% of the QK cost; a pltpu.repeat variant materialized more VMEM and
+    benched slower)."""
+    return (jnp.einsum("gnh,hk->gnk", rh, e,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("gnw,wk->gnk", rw, t,
+                         preferred_element_type=jnp.float32))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, e_ref, t_ref, o_ref,
                 *, scale: float):
     q, k, v = q_ref[:], k_ref[:], v_ref[:]          # (G, N, D)
@@ -45,10 +55,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, e_ref, t_ref, o_ref,
     e, t = e_ref[:], t_ref[:]                       # (h, N), (w, N)
 
     s = _batched_dot(q, k, ((2,), (2,))) * scale    # (G, N, N) f32
-    bias = (jnp.einsum("gnh,hk->gnk", rh, e, preferred_element_type=jnp.float32)
-            + jnp.einsum("gnw,wk->gnk", rw, t,
-                         preferred_element_type=jnp.float32))
-    s = s + bias
+    s = s + _bias_full(rh, rw, e, t)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     o_ref[:] = _batched_dot(p, v, ((2,), (1,))).astype(o_ref.dtype)
 
