@@ -75,6 +75,22 @@ def test_gradients_nonsquare_grid(rng):
                                    atol=5e-4, rtol=1e-3, err_msg=name)
 
 
+def test_gradients_with_4d_rel_tables(rng):
+    """The encoder passes rel tables as (BH, qh, qw, k); cotangents must
+    come back in that shape."""
+    (q, k, v, rh, rw), (h, w) = _inputs(rng, bh=2, h=4, w=4, d=16)
+    rh4 = rh.reshape(2, h, w, h)
+    rw4 = rw.reshape(2, h, w, w)
+
+    def loss(q, rh4_, rw4_):
+        return jnp.sum(
+            flash_attention_rel_pos(q, k, v, rh4_, rw4_, 0.25, (h, w)) ** 2)
+
+    gq, grh, grw = jax.grad(loss, argnums=(0, 1, 2))(q, rh4, rw4)
+    assert grh.shape == rh4.shape and grw.shape == rw4.shape
+    assert np.isfinite(np.asarray(gq)).all()
+
+
 def test_vit_block_with_flash_matches_plain(rng):
     """RelPosAttention(use_flash=True) == use_flash=False on a global block."""
     from wildlifemapper_tpu.models.vit import RelPosAttention

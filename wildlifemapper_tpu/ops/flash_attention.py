@@ -219,6 +219,7 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, grid_hw):
     h, w = grid_hw
     bh, n, d = q.shape
     assert h * w == n, (h, w, n)
+    rel_h_shape, rel_w_shape = rel_h.shape, rel_w.shape
     rel_h = rel_h.reshape(bh, n, h)
     rel_w = rel_w.reshape(bh, n, w)
     rel_h_t = rel_h.swapaxes(1, 2)  # (bh, h, n): sublane-sliceable in-kernel
@@ -249,7 +250,7 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, grid_hw):
         interpret=_use_interpret(),
     )(q, k, v, rel_h_t, rel_w)
     lse = m + jnp.log(l)
-    return out, (q, k, v, rel_h, rel_w, out, lse)
+    return out, (q, k, v, rel_h, rel_w, out, lse, rel_h_shape, rel_w_shape)
 
 
 def _flash_fwd_vjp(q, k, v, rel_h, rel_w, scale, grid_hw):
@@ -258,7 +259,7 @@ def _flash_fwd_vjp(q, k, v, rel_h, rel_w, scale, grid_hw):
 
 
 def _flash_bwd(scale, grid_hw, res, g):
-    q, k, v, rel_h, rel_w, out, lse = res
+    q, k, v, rel_h, rel_w, out, lse, rel_h_shape, rel_w_shape = res
     h, w = grid_hw
     bh, n, d = q.shape
     bq, bk = _block_sizes(n, DEFAULT_BQ_BWD, DEFAULT_BQ_BWD)
@@ -293,8 +294,10 @@ def _flash_bwd(scale, grid_hw, res, g):
         ],
         interpret=_use_interpret(),
     )(q, k, v, rel_h, rel_w, out, g, lse)
+    # cotangents must match the primal (possibly 4D) rel shapes
     return (dq, dk.astype(k.dtype), dv.astype(v.dtype),
-            drh.astype(rel_h.dtype), drw.astype(rel_w.dtype))
+            drh.astype(rel_h.dtype).reshape(rel_h_shape),
+            drw.astype(rel_w.dtype).reshape(rel_w_shape))
 
 
 flash_attention_rel_pos.defvjp(_flash_fwd_vjp, _flash_bwd)

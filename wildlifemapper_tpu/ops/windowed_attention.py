@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-GROUP = 16  # window-heads per grid step
+GROUP = 16      # window-heads per grid step (forward)
+GROUP_BWD = 8   # backward holds ~2x the intermediates; 16 overflows VMEM
 
 
 @functools.lru_cache(maxsize=16)
@@ -159,7 +160,7 @@ def _wbwd(scale, grid_hw, res, dout):
     q, k, v, rel_h, rel_w = res
     h, w = grid_hw
     bwh, n, d = q.shape
-    g = min(GROUP, bwh)
+    g = min(GROUP_BWD, bwh)
     (qp, _), (kp, _), (vp, _) = (_pad_group(x, g) for x in (q, k, v))
     rhp, _ = _pad_group(rel_h, g)
     rwp, _ = _pad_group(rel_w, g)
