@@ -68,6 +68,23 @@ def box_iou_aligned(a: jnp.ndarray, b: jnp.ndarray):
     return inter / jnp.maximum(union, 1e-9), union
 
 
+def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) binary masks -> (N, 4) xyxy bounding boxes; zeros for empty
+    masks (reference box_ops.py:64-87). jit-safe via masked min/max."""
+    n, h, w = masks.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    m = masks.astype(bool)
+    big = jnp.float32(1e9)
+    x_min = jnp.min(jnp.where(m, xs, big), axis=(1, 2))
+    y_min = jnp.min(jnp.where(m, ys, big), axis=(1, 2))
+    x_max = jnp.max(jnp.where(m, xs, -big), axis=(1, 2))
+    y_max = jnp.max(jnp.where(m, ys, -big), axis=(1, 2))
+    any_ = m.any(axis=(1, 2))
+    boxes = jnp.stack([x_min, y_min, x_max, y_max], axis=-1)
+    return jnp.where(any_[:, None], boxes, 0.0)
+
+
 def generalized_box_iou_aligned(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Elementwise GIoU of aligned box arrays — the diag of the pairwise
     version, computed in O(N) (the reference materializes the full N×N matrix

@@ -26,11 +26,29 @@ class NoOpLogger:
     def log_epoch(self, epoch: int, stats: Dict[str, float]):
         pass
 
+    def log_images(self, epoch: int, images, detections=None):
+        """Bbox-overlay image logging (wandb_logger.py:169-270 equivalent)."""
+        pass
+
     def log_summary(self, stats: Dict[str, float]):
         pass
 
     def finish(self):
         pass
+
+
+def render_detections(image_norm, boxes, labels, scores):
+    """Denormalize an (H, W, 3) pipeline image and draw detections; shared
+    by the image-logging backends and the visualize CLI."""
+    import numpy as np
+    from PIL import Image
+
+    from ..cli.visualize import draw_detections
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    arr = ((np.asarray(image_norm) * IMAGENET_STD + IMAGENET_MEAN)
+           * 255).clip(0, 255).astype("uint8")
+    return draw_detections(Image.fromarray(arr), boxes, labels, scores)
 
 
 class JsonlLogger(NoOpLogger):
@@ -58,6 +76,20 @@ class JsonlLogger(NoOpLogger):
     def log_epoch(self, epoch, stats):
         self._write({"event": "epoch", "epoch": epoch,
                      **{k: float(v) for k, v in stats.items()}})
+
+    def log_images(self, epoch, images, detections=None):
+        """Render overlays to <run>/images/epoch_<n>_<i>.jpg."""
+        img_dir = self.path.parent / f"{self.path.stem}_images"
+        img_dir.mkdir(exist_ok=True)
+        detections = detections or [None] * len(images)
+        for i, (img, det) in enumerate(zip(images, detections)):
+            if det is not None:
+                rendered = render_detections(img, det["boxes"],
+                                             det["labels"], det["scores"])
+            else:
+                rendered = render_detections(img, [], [], [])
+            rendered.save(img_dir / f"epoch_{epoch}_{i}.jpg")
+        self._write({"event": "images", "epoch": epoch, "count": len(images)})
 
     def log_summary(self, stats):
         self._write({"event": "summary",
