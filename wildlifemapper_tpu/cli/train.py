@@ -121,6 +121,12 @@ def main(argv=None):
 
     mesh = None
     import jax
+
+    from ..parallel import distributed as dist
+
+    dist.init_distributed_mode()
+    if jax.process_count() > 1:
+        dist.setup_for_distributed(dist.is_main_process())
     if len(jax.devices()) > 1 or args.model_parallel > 1:
         mesh = mesh_lib.make_mesh(model_parallel=args.model_parallel)
 

@@ -57,6 +57,15 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
             }
         evaluator.update(preds)
 
+    # cross-process merge (reference: pickle all_gather of eval_imgs,
+    # inference.py:240-259) — every process ends with the full result set.
+    import jax as _jax
+    if _jax.process_count() > 1:
+        from ..parallel.distributed import all_gather_objects
+        gathered = all_gather_objects(evaluator._dts)
+        for other in gathered:
+            evaluator.update(other)
+
     evaluator.accumulate()
     stats = evaluator.summarize()
     evaluator.print_summary()

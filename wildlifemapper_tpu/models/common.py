@@ -22,7 +22,13 @@ def gelu_exact(x):
 
 
 class MLPBlock(nn.Module):
-    """Two-layer MLP: lin1 -> act -> lin2 (reference common.py:13-28)."""
+    """Two-layer MLP: lin1 -> act -> lin2 (reference common.py:13-28).
+
+    Dense layers run through a rank-2 view: the trailing-dim contraction is
+    identical, but the explicit (free) reshape stops XLA:TPU from lowering
+    4D-input Denses as convolutions with layout-copy epilogues — measurable
+    inside the full model where Pallas calls pin row-major layouts nearby.
+    """
 
     mlp_dim: int
     out_dim: int
@@ -31,10 +37,12 @@ class MLPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        shape = x.shape
+        x = x.reshape(-1, shape[-1])
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = self.act(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
-        return x
+        return x.reshape(*shape[:-1], self.out_dim)
 
 
 class ChannelLayerNorm(nn.Module):

@@ -99,8 +99,9 @@ class RelPosAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
 
+        # rank-2 GEMM view (see MLPBlock docstring)
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
-                       dtype=self.dtype, name="qkv")(x)
+                       dtype=self.dtype, name="qkv")(x.reshape(-1, self.dim))
         # (B, N, 3, heads, hd) -> (3, B*heads, N, hd)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads, h * w, head_dim)
@@ -134,9 +135,10 @@ class RelPosAttention(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bqk,bkc->bqc", attn, v)
 
-        out = out.reshape(b, self.num_heads, h, w, head_dim)
-        out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = out.reshape(b, self.num_heads, h * w, head_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b * h * w, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b, h, w, self.dim)
 
 
 class Block(nn.Module):

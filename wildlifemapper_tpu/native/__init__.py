@@ -15,13 +15,14 @@ from typing import Optional
 import numpy as np
 
 _DIR = Path(__file__).parent
-_SO = _DIR / "libwm_native.so"
+_SO = _DIR / "build" / "libwm_native.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
 def _build() -> bool:
     try:
+        _SO.parent.mkdir(exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              str(_DIR / "src" / "wm_native.cpp"), "-o", str(_SO)],
