@@ -90,3 +90,38 @@ def test_perfect_predictions_low_loss(rng):
     assert float(losses["loss_giou"]) < 1e-4
     assert float(losses["loss_ce"]) < 1e-3
     assert float(losses["class_error"]) == 0.0
+
+
+def test_aux_loss_plumbing(rng):
+    """Deep-supervision: aux outputs add matched losses to the total."""
+    out, tgt = _fake_batch(rng, n_valid=(5, 12))
+    cfg = MatchCriterionConfig()
+    base = set_criterion(out, tgt, cfg)
+    out_aux = dict(out)
+    out_aux["aux_outputs"] = [
+        {"pred_logits": out["pred_logits"] + 0.1,
+         "pred_boxes": jnp.clip(out["pred_boxes"] * 0.9, 0.01, 0.99)}]
+    with_aux = set_criterion(out_aux, tgt, cfg)
+    assert "loss_ce_0" in with_aux and "loss_bbox_0" in with_aux
+    assert float(with_aux["loss"]) > float(base["loss"])
+    # final-layer losses unchanged by the aux branch
+    assert float(with_aux["loss_ce"]) == float(base["loss_ce"])
+
+
+def test_aux_loss_model_end_to_end(rng):
+    import dataclasses
+
+    import jax
+
+    from tests.test_model import tiny_config
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, aux_loss=True, depth=2))
+    m = WildlifeMapper(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert len(out["aux_outputs"]) == 1  # depth 2 -> one intermediate
+    assert out["aux_outputs"][0]["pred_logits"].shape == out["pred_logits"].shape

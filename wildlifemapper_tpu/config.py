@@ -72,6 +72,9 @@ class DecoderConfig:
     num_queries: int = 51         # num_multimask_outputs=50 (+1), build_sam.py:296
     head_hidden_dim: int = 256
     head_depth: int = 3
+    # deep supervision on intermediate decoder layers (plumbed-but-inactive
+    # in the reference: box_decoder.py:26, build_sam.py:195-208)
+    aux_loss: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

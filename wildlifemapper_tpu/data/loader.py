@@ -136,7 +136,7 @@ class DataLoader:
     def __init__(self, dataset: CocoDetectionDataset, batch_size: int,
                  shuffle: bool, seed: int = 42, drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -145,6 +145,10 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # >0: decode/preprocess examples in a thread pool (PIL releases the
+        # GIL around decode/resize), like torch DataLoader workers
+        # (train.py:167-170) but thread- instead of process-based.
+        self.num_workers = num_workers
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.ds)
@@ -168,11 +172,27 @@ class DataLoader:
         rng = np.random.default_rng((self.seed, epoch, self.process_index))
         nb = self.batches_per_epoch()
 
+        pool = None
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def load_batch(idxs):
+            if pool is None:
+                return [self.ds.get(int(i), rng) for i in idxs]
+            # per-example child rngs keep augmentation deterministic even
+            # with out-of-order thread completion
+            seeds = rng.integers(0, 2**31, size=len(idxs))
+            futs = [pool.submit(self.ds.get, int(i),
+                                np.random.default_rng(int(s)))
+                    for i, s in zip(idxs, seeds)]
+            return [f.result() for f in futs]
+
         def producer(q: queue.Queue):
             try:
                 for b in range(nb):
                     idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    examples = [self.ds.get(int(i), rng) for i in idxs]
+                    examples = load_batch(idxs)
                     nvalid = len(examples)
                     while len(examples) < self.batch_size:  # pad final batch
                         examples.append(examples[-1])
@@ -188,13 +208,17 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=producer, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:

@@ -119,11 +119,14 @@ class TwoWayTransformer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embedding, image_pe, point_embedding):
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 return_intermediate: bool = False):
         """image_embedding/image_pe: (B, N, C) tokens; point_embedding:
-        (B, Nq, C). Returns (queries, keys)."""
+        (B, Nq, C). Returns (queries, keys) or, with return_intermediate,
+        (queries, keys, [per-layer query states]) for aux losses."""
         queries = point_embedding
         keys = image_embedding
+        intermediate = []
 
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
@@ -133,6 +136,8 @@ class TwoWayTransformer(nn.Module):
                 skip_first_layer_pe=(i == 0),
                 dtype=self.dtype, name=f"layers_{i}")(
                     queries, keys, point_embedding, image_pe)
+            if return_intermediate:
+                intermediate.append(queries)
 
         q = queries + point_embedding
         k = keys + image_pe
@@ -142,6 +147,8 @@ class TwoWayTransformer(nn.Module):
             dtype=self.dtype, name="final_attn_token_to_image")(q, k, keys)
         queries = queries + attn_out
         queries = nn.LayerNorm(dtype=self.dtype, name="norm_final_attn")(queries)
+        if return_intermediate:
+            return queries, keys, intermediate
         return queries, keys
 
 
@@ -163,6 +170,10 @@ class BoxDecoder(nn.Module):
     num_heads: int = 8
     mlp_dim: int = 2048
     attention_downsample_rate: int = 2
+    # Deep supervision on intermediate decoder layers. The reference carries
+    # this plumbing but never enables it (box_decoder.py:26,105-106,
+    # aux_loss defaults False); here it is functional.
+    aux_loss: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -183,16 +194,25 @@ class BoxDecoder(nn.Module):
             image_pe.reshape(1, g * g, self.transformer_dim).astype(self.dtype),
             (b, g * g, self.transformer_dim))
 
-        hs, _ = TwoWayTransformer(
+        twt = TwoWayTransformer(
             depth=self.depth, embedding_dim=self.transformer_dim,
             num_heads=self.num_heads, mlp_dim=self.mlp_dim,
             attention_downsample_rate=self.attention_downsample_rate,
-            dtype=self.dtype, name="transformer")(src, pe, tokens)
+            dtype=self.dtype, name="transformer")
+        class_head = MLPHead(hidden_dim=self.head_hidden_dim,
+                             out_dim=self.num_logits,
+                             num_layers=self.head_depth,
+                             dtype=self.dtype, name="class_embed")
+        bbox_head = MLPHead(hidden_dim=self.head_hidden_dim, out_dim=4,
+                            num_layers=self.head_depth, sigmoid_output=True,
+                            dtype=self.dtype, name="bbox_embed")
 
-        logits = MLPHead(hidden_dim=self.head_hidden_dim,
-                         out_dim=self.num_logits, num_layers=self.head_depth,
-                         dtype=self.dtype, name="class_embed")(hs)
-        boxes = MLPHead(hidden_dim=self.head_hidden_dim, out_dim=4,
-                        num_layers=self.head_depth, sigmoid_output=True,
-                        dtype=self.dtype, name="bbox_embed")(hs)
-        return {"pred_logits": logits, "pred_boxes": boxes}
+        if self.aux_loss:
+            hs, _, inter = twt(src, pe, tokens, return_intermediate=True)
+            out = {"pred_logits": class_head(hs), "pred_boxes": bbox_head(hs)}
+            out["aux_outputs"] = [
+                {"pred_logits": class_head(h), "pred_boxes": bbox_head(h)}
+                for h in inter[:-1]]
+            return out
+        hs, _ = twt(src, pe, tokens)
+        return {"pred_logits": class_head(hs), "pred_boxes": bbox_head(hs)}

@@ -61,8 +61,14 @@ class WildlifeMapper(nn.Module):
             head_depth=cfg.decoder.head_depth, depth=cfg.decoder.depth,
             num_heads=cfg.decoder.num_heads, mlp_dim=cfg.decoder.mlp_dim,
             attention_downsample_rate=cfg.decoder.attention_downsample_rate,
+            aux_loss=cfg.decoder.aux_loss,
             dtype=dtype, name="box_decoder")(emb, pe)
 
         # Heads' outputs in f32 for a numerically stable loss/postprocess.
-        return {"pred_logits": out["pred_logits"].astype(jnp.float32),
-                "pred_boxes": out["pred_boxes"].astype(jnp.float32)}
+        result = {"pred_logits": out["pred_logits"].astype(jnp.float32),
+                  "pred_boxes": out["pred_boxes"].astype(jnp.float32)}
+        if "aux_outputs" in out:
+            result["aux_outputs"] = [
+                {k: v.astype(jnp.float32) for k, v in a.items()}
+                for a in out["aux_outputs"]]
+        return result

@@ -125,7 +125,7 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
 
     loss = (cfg.ce_loss_coef * loss_ce + cfg.bbox_loss_coef * loss_bbox
             + cfg.giou_loss_coef * loss_giou)
-    return {
+    out = {
         "loss": loss,
         "loss_ce": loss_ce,
         "loss_bbox": loss_bbox,
@@ -134,3 +134,13 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
         "cardinality_error": cardinality_error,
         "num_boxes": num_boxes,
     }
+    # Deep supervision: replicate matching + losses per intermediate layer
+    # (build_sam.py:195-208; inactive in the reference, functional here).
+    for i, aux in enumerate(outputs.get("aux_outputs", [])):
+        aux_losses = set_criterion(
+            {k: v for k, v in aux.items()}, targets, cfg, num_classes)
+        out[f"loss_ce_{i}"] = aux_losses["loss_ce"]
+        out[f"loss_bbox_{i}"] = aux_losses["loss_bbox"]
+        out[f"loss_giou_{i}"] = aux_losses["loss_giou"]
+        out["loss"] = out["loss"] + aux_losses["loss"]
+    return out
