@@ -135,3 +135,14 @@ def test_maxdets_1_vs_10():
     stats = ev.summarize()
     assert stats["AR1"] == pytest.approx(0.2)
     assert stats["AR10"] == pytest.approx(1.0)
+
+
+def test_per_category_ap():
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1), _ann(50, 50, 10, 10, 2)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10]], [0.9], [1])})  # cat 1 hit, cat 2 missed
+    ev.accumulate()
+    ev.summarize()
+    per_cat = ev.per_category_ap()
+    assert per_cat[1] == pytest.approx(1.0)
+    assert per_cat[2] == pytest.approx(0.0)

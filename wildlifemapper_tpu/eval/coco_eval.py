@@ -220,6 +220,19 @@ class CocoEvaluator:
         self.stats = dict(zip(STAT_NAMES, stats))
         return self.stats
 
+    def per_category_ap(self) -> Dict[int, float]:
+        """AP (IoU .5:.95, all areas, maxDets 100) per category id — finer
+        reporting than the reference's 12 aggregate stats (useful for the
+        per-species breakdown the paper discusses)."""
+        ai = list(AREA_RNGS).index("all")
+        mi = MAX_DETS.index(100)
+        out = {}
+        for ki, cat in enumerate(self.cat_ids):
+            p = self.precision[:, :, ki, ai, mi]
+            valid = p[p > -1]
+            out[cat] = float(valid.mean()) if valid.size else -1.0
+        return out
+
     def print_summary(self):
         labels = [
             ("Average Precision", "(AP)", "0.50:0.95", "all", 100),

@@ -70,5 +70,9 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     stats = evaluator.summarize()
     evaluator.print_summary()
     out_stats = {f"coco/{k}": v for k, v in stats.items()}
+    names = {c["id"]: c.get("name", f"class_{c['id']}")
+             for c in getattr(gt_index, "categories", [])}
+    for cat, ap in evaluator.per_category_ap().items():
+        out_stats[f"coco/AP_{names.get(cat, cat)}"] = ap
     out_stats.update(logger.global_averages())
     return out_stats
