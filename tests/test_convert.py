@@ -1,6 +1,7 @@
 """torch->jax converter unit tests (surgery, prefixes, merge semantics)."""
 
 import numpy as np
+import pytest
 
 from wildlifemapper_tpu.compat.torch_convert import (apply_sam_surgery,
                                                      map_torch_keys,
@@ -65,3 +66,45 @@ def test_mha_packed_split():
         out["image_encoder/hfc_attn/cross_attn/q_proj/kernel"], w[:e].T)
     np.testing.assert_array_equal(
         out["image_encoder/hfc_attn/cross_attn/v_proj/bias"], b[2 * e:])
+
+
+def test_convert_checkpoint_file_roundtrip(tmp_path):
+    """torch.save -> convert_checkpoint on disk: DDP prefixes stripped,
+    matching keys loaded, missing keys keep init (strict=False semantics),
+    trained-checkpoint {model: ...} wrapper unwrapped."""
+    torch = pytest.importorskip("torch")
+
+    import jax
+    import numpy as np
+
+    from tests.test_model import tiny_config
+    from wildlifemapper_tpu.compat.torch_convert import convert_checkpoint
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = tiny_config()
+    m = WildlifeMapper(cfg)
+    params = m.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+
+    gm = np.random.default_rng(0).normal(size=(2, 16)).astype(np.float32)
+    qt = np.random.default_rng(1).normal(
+        size=(cfg.decoder.num_queries, cfg.decoder.transformer_dim)
+    ).astype(np.float32)
+    sd = {
+        "module.prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            torch.from_numpy(gm),
+        "module.mask_decoder.mask_tokens.weight": torch.from_numpy(qt),
+        # a key with hfc so surgery auto-detection treats it as trained-WM
+        "module.image_encoder.hfc_attn.norm1.weight":
+            torch.ones(cfg.hfc.proj_dim),
+    }
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": sd, "optimizer": {}, "epoch": 3}, path)
+
+    new_params, report = convert_checkpoint(str(path), params, depth=2)
+    assert "pos_encoder/gaussian_matrix" in report["loaded"]
+    assert "box_decoder/query_tokens" in report["loaded"]
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["pos_encoder"]["gaussian_matrix"]), gm)
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["box_decoder"]["query_tokens"]), qt)
+    assert len(report["missing"]) > 10  # everything else kept at init

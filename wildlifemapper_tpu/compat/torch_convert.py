@@ -46,6 +46,7 @@ def _conv1x1_to_dense(x):  # (O, I, 1, 1) -> (I, O)
 def _ln(dst_prefix: str, src_prefix: str, sd, out):
     if f"{src_prefix}.weight" in sd:
         out[f"{dst_prefix}/scale"] = np.asarray(sd[f"{src_prefix}.weight"])
+    if f"{src_prefix}.bias" in sd:
         out[f"{dst_prefix}/bias"] = np.asarray(sd[f"{src_prefix}.bias"])
 
 
