@@ -61,7 +61,7 @@ def test_preprocess_example_shapes():
     # content occupies 512 rows x 768 cols; padding is exactly zero
     assert np.abs(ex["image"][512:, :, :]).max() == 0.0
     assert np.abs(ex["image"][:512, 768:, :]).max() == 0.0
-    assert ex["boxes"].shape == (64, 4) and ex["valid"].sum() == 1
+    assert ex["boxes"].shape == (128, 4) and ex["valid"].sum() == 1
     np.testing.assert_array_equal(ex["orig_size"], [3648, 5472])
     np.testing.assert_array_equal(ex["size"], [512, 768])
     # box normalized against the resized 768x512 content
@@ -90,7 +90,7 @@ def test_real_annotations_synthetic_images():
     loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True)
     batch = next(iter(loader.epoch(0)))
     assert batch["image"].shape == (2, 1024, 1024, 3)
-    assert batch["boxes"].shape == (2, 64, 4)
+    assert batch["boxes"].shape == (2, 128, 4)
     assert batch["batch_valid"].all()
 
 
@@ -108,3 +108,37 @@ def test_loader_sharding_partitions_epoch():
     overlap = seen[0] & seen[1]
     assert len(overlap) <= 4  # only the wrap-around pad can repeat
     assert len(seen[0] | seen[1]) > 100
+
+
+def test_pad_targets_no_silent_loss_on_bundled_dataset():
+    """The default max_targets (128) must cover the densest bundled train
+    image (id 633: 118 boxes, measured from coco_annotations/train.json);
+    truncation, if it ever happens, must warn (the reference trains on all
+    targets, dataloader_coco.py:253-270)."""
+    import collections
+    import json
+    import warnings
+
+    from wildlifemapper_tpu.config import DataConfig, MatchCriterionConfig
+    from wildlifemapper_tpu.data.transforms import pad_targets
+
+    cfg_path = Path(DataConfig.coco_path) / "train.json"
+    if not cfg_path.exists():
+        pytest.skip("bundled annotations absent")
+    anns = json.loads(cfg_path.read_text())["annotations"]
+    densest = max(collections.Counter(a["image_id"] for a in anns).values())
+    assert densest <= MatchCriterionConfig.max_targets
+    assert densest <= DataConfig.max_targets
+
+    boxes = np.random.default_rng(0).random((densest, 4)).astype(np.float32)
+    labels = np.ones(densest, np.int32)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        b, l, v = pad_targets(boxes, labels, MatchCriterionConfig.max_targets)
+    assert int(v.sum()) == densest
+    np.testing.assert_array_equal(b[:densest], boxes)
+
+    with pytest.warns(RuntimeWarning, match="truncating 118"):
+        _, _, v64 = pad_targets(boxes, labels, 64)
+    assert int(v64.sum()) == 64

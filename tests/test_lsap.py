@@ -58,3 +58,35 @@ def test_rectangular_embedding_matches_scipy(num_valid, rng):
         have = cost[b][np.arange(q)[matched], row_to_col[b][matched]].sum()
         assert matched.sum() == min(q, num_valid)
         np.testing.assert_allclose(have, want, rtol=1e-5, atol=1e-3)
+
+
+def test_nonfinite_costs_terminate():
+    """NaN/inf cost rows (e.g. transient bf16 overflow upstream) must
+    produce a terminating, valid-permutation assignment — never a hang
+    inside jit (the reference's scipy raises instead, matcher.py:80)."""
+    rng = np.random.default_rng(3)
+    cost = rng.normal(size=(4, 8, 8)).astype(np.float32)
+    cost[0, 2, :] = np.nan          # full NaN row
+    cost[1, :, 5] = np.inf          # inf column
+    cost[2] = np.nan                # entire matrix NaN
+    cost[3, 0, 0] = -np.inf
+    out = np.asarray(solve_lsap(jnp.asarray(cost)))
+    for b in range(4):
+        assert sorted(out[b].tolist()) == list(range(8)), out[b]
+
+
+def test_nonfinite_sanitization_matches_scipy_on_clean_entries():
+    """After nan_to_num, the assignment equals scipy's on the sanitized
+    matrix (termination AND optimality of the sanitized problem)."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(4)
+    cost = rng.normal(size=(6, 6)).astype(np.float32)
+    cost[1, 3] = np.nan
+    cost[4, :2] = np.inf
+    sanitized = np.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9)
+    rows, cols = linear_sum_assignment(sanitized)
+    ours = np.asarray(solve_lsap(jnp.asarray(cost)[None]))[0]
+    np.testing.assert_allclose(sanitized[rows, cols].sum(),
+                               sanitized[np.arange(6), ours].sum(),
+                               rtol=1e-5)

@@ -128,3 +128,24 @@ def test_full_loop_one_epoch(tmp_path):
                    max_steps_per_epoch=3, max_eval_batches=4,
                    print_fn=lambda *a, **k: None)
     assert "train/loss" in stats2
+
+
+def test_eval_jit_hoisted_across_calls():
+    """evaluate() must not retrace per epoch (reference: train.py:325 calls
+    evaluate every epoch with no recompilation): the jit wrapper is memoized
+    per step function, so a second call with the same shapes reuses the
+    compiled executable."""
+    from wildlifemapper_tpu.eval.evaluate import _jit_eval_step
+
+    traces = []
+
+    def step(params, batch):
+        traces.append(1)
+        return params + batch, {"l": jnp.sum(batch)}
+
+    j1 = _jit_eval_step(step)
+    j2 = _jit_eval_step(step)
+    assert j1 is j2
+    j1(1.0, jnp.ones(3))
+    j2(2.0, jnp.ones(3))
+    assert len(traces) == 1

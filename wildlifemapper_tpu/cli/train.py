@@ -48,7 +48,7 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--bbox_loss_coef", type=float, default=5)
     p.add_argument("--giou_loss_coef", type=float, default=2)
     p.add_argument("--eos_coef", type=float, default=0.1)
-    p.add_argument("--max_targets", type=int, default=64)
+    p.add_argument("--max_targets", type=int, default=128)
     # data/aug
     p.add_argument("--resize_size", type=int, default=768)
     p.add_argument("--canvas_size", type=int, default=1024)

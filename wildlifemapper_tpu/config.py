@@ -119,8 +119,10 @@ class MatchCriterionConfig:
     giou_loss_coef: float = 2.0
     eos_coef: float = 0.1
     # Static padded target count per image. The bundled train split peaks at
-    # 118 boxes/img (p99 = 57); targets beyond this are dropped with a warning.
-    max_targets: int = 64
+    # 118 boxes/img (p99 = 57), so 128 loses nothing on the bundled dataset
+    # (the reference trains on ragged, untruncated targets,
+    # dataloader_coco.py:253-270); pad_targets warns if it ever truncates.
+    max_targets: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,7 +144,7 @@ class DataConfig:
     # The reference's 4-image mosaic path is dead code (gate `== '_train'`
     # vs passed 'train', dataloader_coco.py:34). Off by default for parity.
     use_mosaic: bool = False
-    max_targets: int = 64
+    max_targets: int = 128
     batch_size: int = 6
     num_workers: int = 2
     synthetic: bool = False       # generate random tiles when images are absent

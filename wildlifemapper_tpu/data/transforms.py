@@ -21,6 +21,7 @@ step jits with static shapes.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -121,9 +122,19 @@ def pad_to_canvas(image: np.ndarray, canvas: int) -> np.ndarray:
 def pad_targets(boxes: np.ndarray, labels: np.ndarray, max_targets: int):
     """Ragged targets -> fixed (max_targets,) arrays + validity mask.
 
-    Overflow beyond max_targets is truncated (train split p99 is 57 vs the
-    default 64); padding slots get label 0 / centered dummy boxes.
+    The default cap (128) exceeds the bundled train split's densest image
+    (118 boxes), so no target is ever dropped there; if an input does
+    overflow, the excess is truncated WITH a warning (the reference trains
+    on ragged, untruncated targets — dataloader_coco.py:253-270 — so silent
+    loss would be a parity break). Padding slots get label 0 / centered
+    dummy boxes.
     """
+    if len(labels) > max_targets:
+        warnings.warn(
+            f"pad_targets: truncating {len(labels)} targets to "
+            f"max_targets={max_targets}; raise criterion.max_targets / "
+            f"data.max_targets to keep them all", RuntimeWarning,
+            stacklevel=2)
     n = min(len(labels), max_targets)
     out_boxes = np.full((max_targets, 4), 0.5, dtype=np.float32)
     out_labels = np.zeros((max_targets,), dtype=np.int32)
@@ -138,7 +149,7 @@ def pad_targets(boxes: np.ndarray, labels: np.ndarray, max_targets: int):
 class PreprocessConfig:
     resize_size: int = 768
     canvas_size: int = 1024
-    max_targets: int = 64
+    max_targets: int = 128
     flip_prob: float = 0.0
     flip_is_vertical: bool = True
     use_mosaic: bool = False

@@ -7,6 +7,7 @@ the COCO evaluator keyed by image_id, then summarize the 12-stat suite.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -19,13 +20,21 @@ from .coco_eval import CocoEvaluator
 from .postprocess import batched_nms, postprocess
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_eval_step(eval_step: Callable):
+    """One jit wrapper per step function: the reference calls evaluate()
+    every epoch (train.py:325) without recompiling; a fresh jax.jit per call
+    would retrace each epoch (30s-5min per compile over the axon tunnel)."""
+    return jax.jit(eval_step)
+
+
 def evaluate(eval_step: Callable, params, loader: DataLoader,
              gt_index, cfg: Config, epoch: int = 0,
              apply_nms: bool = False, print_fn=print,
              max_batches: Optional[int] = None) -> Dict[str, float]:
     evaluator = CocoEvaluator(gt_index)
     logger = MetricLogger(print_fn=print_fn)
-    jitted = jax.jit(eval_step)
+    jitted = _jit_eval_step(eval_step)
 
     n_batches = loader.batches_per_epoch()
     if max_batches:

@@ -39,11 +39,17 @@ def _solve_single(cost: jnp.ndarray) -> jnp.ndarray:
         p = p.at[0].set(i)
 
         def search_cond(st):
-            j0, _, _, _, p_, _, _ = st
-            return p_[j0] != -1
+            j0, it, _, _, _, p_, _, _ = st
+            # `it <= n` bounds the loop: each iteration consumes one unused
+            # column, so a finite cost matrix terminates in <= n+1 steps; a
+            # non-finite one (e.g. transient bf16 overflow upstream) must
+            # not hang inside jit — it exits here and the caller's NaN-loss
+            # guard trips instead (scipy raises in the reference,
+            # matcher.py:80).
+            return jnp.logical_and(p_[j0] != -1, it <= n)
 
         def search_body(st):
-            j0, used, minv, way, p_, u_, v_ = st
+            j0, it, used, minv, way, p_, u_, v_ = st
             used = used.at[j0].set(True)
             i0 = p_[j0]
             # Relax all unused real columns against row i0.
@@ -60,27 +66,28 @@ def _solve_single(cost: jnp.ndarray) -> jnp.ndarray:
             u_ = u_.at[rows_hit].add(delta, mode="drop")
             v_ = v_ - delta * used.astype(v_.dtype)
             minv = minv - delta * (~used[1:]).astype(minv.dtype)
-            return j1, used, minv, way, p_, u_, v_
+            return j1, it + 1, used, minv, way, p_, u_, v_
 
         used0 = jnp.zeros(n + 1, dtype=bool)
         minv0 = jnp.full(n, _INF)
         way0 = jnp.zeros(n, dtype=jnp.int32)
-        j0, _, _, way, p, u, v = jax.lax.while_loop(
+        j0, _, _, _, way, p, u, v = jax.lax.while_loop(
             search_cond, search_body,
-            (jnp.int32(0), used0, minv0, way0, p, u, v))
+            (jnp.int32(0), jnp.int32(0), used0, minv0, way0, p, u, v))
 
-        # Augment along the alternating path back to the virtual column.
+        # Augment along the alternating path back to the virtual column
+        # (path length <= n; the same hang-proofing bound applies).
         def aug_cond(st):
-            j0_, _ = st
-            return j0_ != 0
+            j0_, it_, _ = st
+            return jnp.logical_and(j0_ != 0, it_ <= n)
 
         def aug_body(st):
-            j0_, p_ = st
+            j0_, it_, p_ = st
             j1_ = way[j0_ - 1]
             p_ = p_.at[j0_].set(p_[j1_])
-            return j1_, p_
+            return j1_, it_ + 1, p_
 
-        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        _, _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, jnp.int32(0), p))
         return p, u, v
 
     p0 = jnp.full(n + 1, -1, dtype=jnp.int32)
@@ -100,8 +107,15 @@ def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
     """Batched square LSAP. cost: (B, n, n) f32 -> row_to_col (B, n) int32.
 
     Gradients do not flow through the assignment (DETR semantics: the match
-    is a constant of the loss)."""
+    is a constant of the loss).
+
+    Non-finite entries are sanitized to large finite values first: a NaN/inf
+    cost (transient bf16 overflow upstream) must yield SOME terminating
+    assignment so the surrounding train step completes and the NaN-loss
+    guard (train/loop.py) fires — never a hang inside jit. The reference's
+    scipy path raises instead (matcher.py:80)."""
     cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    cost = jnp.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9)
     return jax.vmap(_solve_single)(cost)
 
 

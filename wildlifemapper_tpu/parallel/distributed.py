@@ -66,14 +66,56 @@ def setup_for_distributed(is_master: bool):
     builtins.print = print_
 
 
+def _pack_object(obj: Any) -> "np.ndarray":
+    """Serialize an arbitrary host object to a uint8 array."""
+    import pickle
+
+    import numpy as np
+
+    return np.frombuffer(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL),
+                         dtype=np.uint8)
+
+
+def _unpack_object(buf, length: int) -> Any:
+    """Inverse of _pack_object for a possibly right-padded buffer."""
+    import pickle
+
+    import numpy as np
+
+    return pickle.loads(np.asarray(buf[:length], dtype=np.uint8).tobytes())
+
+
+def _pad_to(buf, length: int):
+    import numpy as np
+
+    out = np.zeros(length, np.uint8)
+    out[: buf.size] = buf
+    return out
+
+
 def all_gather_objects(obj: Any) -> List[Any]:
-    """Gather an arbitrary pytree of host values from every process
-    (replaces misc.py:180-220's pickle/ByteTensor dance)."""
+    """Gather an arbitrary host object from every process.
+
+    Parity target: misc.py:180-220 (pickle → ByteTensor → pad-to-max →
+    all_gather → unpickle). multihost_utils.process_allgather requires an
+    IDENTICAL pytree structure on every process, but callers pass ragged
+    per-process data (e.g. the COCO evaluator's per-image-id dicts), so we
+    gather (a) a fixed-shape length scalar, then (b) a fixed-shape padded
+    byte buffer — both structurally identical across processes by
+    construction.
+    """
     if get_world_size() == 1:
         return [obj]
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(obj)
-    # process_allgather stacks along a new leading axis per leaf
-    n = get_world_size()
-    return [jax.tree.map(lambda x: x[i], gathered) for i in range(n)]
+    local = _pack_object(obj)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([local.size], np.int64))          # (n_proc, 1)
+    lengths = np.asarray(lengths).reshape(-1)
+    max_len = int(lengths.max())
+    padded = multihost_utils.process_allgather(
+        _pad_to(local, max_len))                     # (n_proc, max_len)
+    padded = np.asarray(padded)
+    return [_unpack_object(padded[i], int(lengths[i]))
+            for i in range(get_world_size())]
