@@ -176,3 +176,39 @@ def test_hfc_parity():
     x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
     out_j = np.asarray(hfc_filter(x_nhwc, 0.125))[..., 0]
     np.testing.assert_allclose(out_j, inv[:, 0].numpy(), atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dims", [(1024, 16), (1280, 16)])  # ViT-L / ViT-H
+def test_block_parity_large_dims(dims):
+    """Windowed + global block parity at ViT-L/H head dims (VERDICT r1
+    item 9: only depth-12/dim-768 paths were exercised before). Grid 16
+    bounds CPU runtime; the L/H-specific risk is the 1024/1280-dim,
+    16-head split, which is dim-dependent, not grid-dependent."""
+    import torch
+
+    dim, heads = dims
+    ref_enc = REF["image_encoder"]
+    from wildlifemapper_tpu.models.vit import Block
+
+    for window, seed in ((14, 3), (0, 4)):
+        torch_blk = ref_enc.Block(dim=dim, num_heads=heads, qkv_bias=True,
+                                  use_rel_pos=True, window_size=window,
+                                  input_size=(16, 16))
+        _randomize_torch(torch_blk, seed)
+        sd = torch_state_dict_numpy(torch_blk, "image_encoder.blocks.0")
+        jb = Block(dim=dim, num_heads=heads, window_size=window,
+                   input_size=(16, 16))
+        x = np.random.default_rng(seed).normal(
+            size=(1, 16, 16, dim)).astype(np.float32)
+        params = jb.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        mapped = {k.replace("image_encoder/blocks_0/", ""): v
+                  for k, v in map_torch_keys(sd, depth=1).items()
+                  if "blocks_0" in k}
+        params, rpt = merge_into_params(params, mapped)
+        assert not rpt["missing"], rpt["missing"]
+        out_j = np.asarray(jb.apply(params, jnp.asarray(x)))
+        with torch.no_grad():
+            out_t = torch_blk(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(out_j, out_t, atol=5e-5, rtol=1e-4,
+                                   err_msg=f"window={window} dim={dim}")

@@ -69,6 +69,9 @@ def add_config_args(p: argparse.ArgumentParser):
     # logging
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", default="wildlifemapper-tpu")
+    p.add_argument("--log_histograms_every", type=int, default=0,
+                   help="param-histogram cadence in epochs (0=off); the "
+                        "wandb model-watch equivalent")
     p.add_argument("--run_name", default=None)
     return p
 
@@ -104,7 +107,8 @@ def config_from_args(args) -> Config:
         train=TrainConfig(
             lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
             lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,
-            seed=args.seed, use_amp=args.use_amp),
+            seed=args.seed, use_amp=args.use_amp,
+            log_histograms_every=args.log_histograms_every),
         eval=EvalConfig(confidence_threshold=args.confidence_threshold,
                         hw_swap_compat=not args.fix_hw_swap),
         mesh=MeshConfig(model_parallel_size=args.model_parallel),

@@ -92,6 +92,13 @@ class ModelConfig:
     # Use the Pallas flash-attention kernel for global attention blocks
     # (jnp fallback otherwise; interpret mode on CPU backends).
     use_flash_attention: bool = False
+    # Attention kernel layout (only with use_flash_attention):
+    #   "packed"  — v2: windowed AND global kernels consume the packed
+    #               (.., N, 3C) qkv GEMM output, heads split in-kernel;
+    #               no XLA-side qkv transposes on the forward path.
+    #   "grouped" — v1: per-(window-)head operands (keeps the 5-D
+    #               transpose; reference-shaped data flow).
+    attn_impl: str = "packed"
 
     @property
     def grid_size(self) -> int:
@@ -168,6 +175,10 @@ class TrainConfig:
     # the dense-PE gaussian matrix is a buffer (never trained).
     freeze_encoder: bool = True
     use_amp: bool = False         # bf16 compute in the train step
+    # Param-histogram logging cadence in epochs (0 = off). Equivalent of the
+    # reference's wandb model watch / histogram tables
+    # (wandb_logger.py:101-120, 272-288).
+    log_histograms_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

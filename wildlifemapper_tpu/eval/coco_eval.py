@@ -51,6 +51,39 @@ def iou_xyxy(dts: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarra
     return np.where(denom > 0, inter / np.maximum(denom, 1e-12), 0.0)
 
 
+def match_greedy(ious: np.ndarray, thrs: np.ndarray, g_ignore: np.ndarray,
+                 gcrowd: np.ndarray):
+    """Pure-python COCOeval greedy matcher (the exact published semantics:
+    score-ordered dts, each takes the best still-free GT above thr; crowd
+    GTs are reusable; once a non-ignored match exists, ignored GTs cannot
+    displace it). Cross-validated against the C++ wm_coco_match in
+    tests/test_coco_eval.py. Returns (dtm (T,D) 1-based, dt_ig (T,D),
+    gtm (T,G) 1-based)."""
+    T, D, G = len(thrs), ious.shape[0], ious.shape[1]
+    dtm = np.zeros((T, D), dtype=np.int64)
+    gtm = np.zeros((T, G), dtype=np.int64)
+    dt_ig = np.zeros((T, D), dtype=bool)
+    for ti, thr in enumerate(thrs):
+        for d in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            m = -1
+            for g in range(G):
+                if gtm[ti, g] > 0 and not gcrowd[g]:
+                    continue
+                if m > -1 and not g_ignore[m] and g_ignore[g]:
+                    break  # ran past all non-ignored candidates
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                m = g
+            if m == -1:
+                continue
+            dt_ig[ti, d] = g_ignore[m]
+            dtm[ti, d] = m + 1
+            gtm[ti, m] = d + 1
+    return dtm, dt_ig, gtm
+
+
 class CocoEvaluator:
     """Accumulates per-image detections and computes the 12 COCO stats.
 
@@ -123,27 +156,7 @@ class CocoEvaluator:
         if native_result is not None:
             dtm, dt_ig, gtm = native_result
         else:
-            dtm = np.zeros((T, D), dtype=np.int64)
-            gtm = np.zeros((T, G), dtype=np.int64)
-            dt_ig = np.zeros((T, D), dtype=bool)
-            for ti, thr in enumerate(IOU_THRS):
-                for d in range(D):
-                    best_iou = min(thr, 1 - 1e-10)
-                    m = -1
-                    for g in range(G):
-                        if gtm[ti, g] > 0 and not gcrowd[g]:
-                            continue
-                        if m > -1 and not g_ignore[m] and g_ignore[g]:
-                            break  # ran past all non-ignored candidates
-                        if ious[d, g] < best_iou:
-                            continue
-                        best_iou = ious[d, g]
-                        m = g
-                    if m == -1:
-                        continue
-                    dt_ig[ti, d] = g_ignore[m]
-                    dtm[ti, d] = m + 1
-                    gtm[ti, m] = d + 1
+            dtm, dt_ig, gtm = match_greedy(ious, IOU_THRS, g_ignore, gcrowd)
         out_of_rng = (dareas < area_rng[0]) | (dareas > area_rng[1])
         dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
         return {

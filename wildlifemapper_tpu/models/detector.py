@@ -47,6 +47,7 @@ class WildlifeMapper(nn.Module):
             hfc_embed_dim=cfg.hfc.embed_dim, hfc_num_heads=cfg.hfc.num_heads,
             hfc_ffn_dim=cfg.hfc.ffn_dim, hfc_proj_dim=cfg.hfc.proj_dim,
             hfc_dropout=cfg.hfc.dropout, use_flash=cfg.use_flash_attention,
+            attn_impl=cfg.attn_impl,
             dtype=dtype, name="image_encoder")(
                 images, hfc, deterministic=deterministic)
 

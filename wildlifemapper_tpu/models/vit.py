@@ -28,6 +28,12 @@ from .common import ChannelLayerNorm, MLPBlock
 
 Dtype = Any
 
+# Token-count boundary between the whole-window VMEM kernels (scores held
+# entirely in VMEM — only viable for small windows) and the online-softmax
+# flash kernels. Patchable in tests to exercise the global path on small
+# grids.
+GLOBAL_N_THRESHOLD = 1024
+
 
 class PatchEmbed(nn.Module):
     """16x16/16 conv patch embedding, NHWC in -> (B, H/16, W/16, C)
@@ -91,6 +97,7 @@ class RelPosAttention(nn.Module):
     qkv_bias: bool = True
     use_rel_pos: bool = True
     use_flash: bool = False
+    attn_impl: str = "packed"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -102,43 +109,107 @@ class RelPosAttention(nn.Module):
         # rank-2 GEMM view (see MLPBlock docstring)
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(x.reshape(-1, self.dim))
-        # (B, N, 3, heads, hd) -> (3, B*heads, N, hd)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads, h * w, head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        rel_h = rel_w = None
+        rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
             rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                    (2 * self.input_size[0] - 1, head_dim), jnp.float32)
             rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
                                    (2 * self.input_size[1] - 1, head_dim), jnp.float32)
-            rel_h, rel_w = rel_pos_ops.decomposed_rel_pos_tables(
-                q, rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype),
-                (h, w), (h, w))
 
-        if self.use_flash and h * w >= 1024:
-            from ..ops.flash_attention import flash_attention_rel_pos
-            out = flash_attention_rel_pos(q, k, v, rel_h, rel_w, scale, (h, w))
-        elif self.use_flash and rel_h is not None:
-            # small-window path: whole-window VMEM kernel, no online softmax
-            from ..ops.windowed_attention import windowed_attention_rel_pos
-            out = windowed_attention_rel_pos(
-                q, k, v, rel_h.reshape(-1, h * w, h), rel_w.reshape(-1, h * w, w),
-                scale, (h, w))
+        if (self.use_flash and self.use_rel_pos
+                and self.attn_impl == "packed"):
+            # v2 fused paths: the kernels consume the qkv GEMM output as-is
+            # and split heads in VMEM — no (3, B*heads, N, hd) transpose
+            # ever exists (round-1 trace: ~1.9 ms/layer of copies at B=16).
+            packed = self._packed_windowed if h * w < GLOBAL_N_THRESHOLD \
+                else self._packed_global
+            out = packed(qkv.reshape(b, h * w, 3 * self.dim),
+                         rel_pos_h, rel_pos_w, (h, w), head_dim, scale)
+            out = out.reshape(b * h * w, self.dim)
         else:
-            attn = jnp.einsum("bqc,bkc->bqk", q * scale, k,
-                              preferred_element_type=jnp.float32)
-            if rel_h is not None:
-                attn = rel_pos_ops.add_decomposed_rel_pos_matmul(
-                    attn, rel_h, rel_w, (h, w))
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bqk,bkc->bqc", attn, v)
+            # (B, N, 3, heads, hd) -> (3, B*heads, N, hd)
+            qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+            qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(
+                3, b * self.num_heads, h * w, head_dim)
+            q, k, v = qkv[0], qkv[1], qkv[2]
 
-        out = out.reshape(b, self.num_heads, h * w, head_dim)
-        out = out.transpose(0, 2, 1, 3).reshape(b * h * w, self.dim)
+            rel_h = rel_w = None
+            if self.use_rel_pos:
+                rel_h, rel_w = rel_pos_ops.decomposed_rel_pos_tables(
+                    q, rel_pos_h.astype(self.dtype),
+                    rel_pos_w.astype(self.dtype), (h, w), (h, w))
+
+            if self.use_flash and h * w >= GLOBAL_N_THRESHOLD:
+                from ..ops.flash_attention import flash_attention_rel_pos
+                out = flash_attention_rel_pos(q, k, v, rel_h, rel_w, scale,
+                                              (h, w))
+            elif self.use_flash and rel_h is not None:
+                # v1 small-window path: per-window-head VMEM kernel
+                from ..ops.windowed_attention import windowed_attention_rel_pos
+                out = windowed_attention_rel_pos(
+                    q, k, v, rel_h.reshape(-1, h * w, h),
+                    rel_w.reshape(-1, h * w, w), scale, (h, w))
+            else:
+                attn = jnp.einsum("bqc,bkc->bqk", q * scale, k,
+                                  preferred_element_type=jnp.float32)
+                if rel_h is not None:
+                    attn = rel_pos_ops.add_decomposed_rel_pos_matmul(
+                        attn, rel_h, rel_w, (h, w))
+                attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+                out = jnp.einsum("bqk,bkc->bqc", attn, v)
+
+            out = out.reshape(b, self.num_heads, h * w, head_dim)
+            out = out.transpose(0, 2, 1, 3).reshape(b * h * w, self.dim)
+
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return out.reshape(b, h, w, self.dim)
+
+    def _packed_windowed(self, qkv, rel_pos_h, rel_pos_w, hw, head_dim,
+                         scale):
+        """v2 kernel dispatch: rel tables projected straight from the packed
+        q slice (no per-head q materialization in XLA)."""
+        from ..ops.windowed_attention_v2 import (pack_rel_tables,
+                                                 windowed_attention_packed)
+
+        h, w = hw
+        bw = qkv.shape[0]
+        rh_sel = rel_pos_ops.select_rel_pos(
+            rel_pos_h.astype(self.dtype), h, h)            # (h, kh, d)
+        rw_sel = rel_pos_ops.select_rel_pos(
+            rel_pos_w.astype(self.dtype), w, w)            # (w, kw, d)
+        q5 = qkv[:, :, :self.dim].reshape(bw, h, w, self.num_heads, head_dim)
+        rel_h = jnp.einsum("brced,rkd->berck", q5, rh_sel
+                           ).reshape(bw, self.num_heads, h * w, h)
+        rel_w = jnp.einsum("brced,ckd->berck", q5, rw_sel
+                           ).reshape(bw, self.num_heads, h * w, w)
+        rel_hp, rel_wp = pack_rel_tables(rel_h, rel_w, self.num_heads, hw)
+        return windowed_attention_packed(qkv, rel_hp, rel_wp, scale,
+                                         self.num_heads, hw)
+
+    def _packed_global(self, qkv, rel_pos_h, rel_pos_w, hw, head_dim,
+                       scale):
+        """v2 global flash dispatch: rel tables projected straight from the
+        packed q slice; rel_h emitted transposed (sublane-sliceable per
+        k-tile in the kernel), rel_w lane-packed."""
+        from ..ops.flash_attention_v2 import _pad8, flash_attention_packed
+
+        h, w = hw
+        b = qkv.shape[0]
+        n = h * w
+        rh_sel = rel_pos_ops.select_rel_pos(
+            rel_pos_h.astype(self.dtype), h, h)            # (h, kh, d)
+        rw_sel = rel_pos_ops.select_rel_pos(
+            rel_pos_w.astype(self.dtype), w, w)            # (w, kw, d)
+        q5 = qkv[:, :, :self.dim].reshape(b, h, w, self.num_heads, head_dim)
+        rhT = jnp.einsum("brced,rkd->bekrc", q5, rh_sel
+                         ).reshape(b, self.num_heads, h, n)
+        rhT = jnp.pad(rhT, ((0, 0), (0, 0), (0, _pad8(h) - h), (0, 0))
+                      ).reshape(b, self.num_heads * _pad8(h), n)
+        rw = jnp.einsum("brced,ckd->brcek", q5, rw_sel
+                        ).reshape(b, n, self.num_heads * w)
+        return flash_attention_packed(qkv, rhT, rw, scale, self.num_heads,
+                                      hw)
 
 
 class Block(nn.Module):
@@ -153,6 +224,7 @@ class Block(nn.Module):
     window_size: int = 0          # 0 = global attention
     input_size: Tuple[int, int] = (64, 64)
     use_flash: bool = False
+    attn_impl: str = "packed"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -170,6 +242,7 @@ class Block(nn.Module):
                             input_size=attn_size, qkv_bias=self.qkv_bias,
                             use_rel_pos=self.use_rel_pos,
                             use_flash=self.use_flash,
+                            attn_impl=self.attn_impl,
                             dtype=self.dtype, name="attn")(x)
 
         if self.window_size > 0:
@@ -225,6 +298,7 @@ class ImageEncoderViT(nn.Module):
     hfc_proj_dim: int = 1024
     hfc_dropout: float = 0.1
     use_flash: bool = False
+    attn_impl: str = "packed"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -258,6 +332,7 @@ class ImageEncoderViT(nn.Module):
                       window_size=(0 if i in self.global_attn_indexes
                                    else self.window_size),
                       input_size=(grid, grid), use_flash=self.use_flash,
+                      attn_impl=self.attn_impl,
                       dtype=self.dtype, name=f"blocks_{i}")(x)
 
         return Neck(out_chans=self.out_chans, dtype=self.dtype, name="neck")(x)

@@ -30,11 +30,51 @@ class NoOpLogger:
         """Bbox-overlay image logging (wandb_logger.py:169-270 equivalent)."""
         pass
 
+    def log_histograms(self, epoch: int, tensors: Dict[str, Any],
+                       prefix: str = "params"):
+        """Param/grad histogram logging (wandb_logger.py:101-120 model watch
+        + :272-288 histograms). `tensors` is a flat or nested pytree."""
+        pass
+
+    def log_table(self, name: str, columns, rows):
+        """Tabular logging (wandb_logger.py:282-288)."""
+        pass
+
+    def log_artifact(self, path: str, name: str, type: str = "model",
+                     metadata: Optional[Dict[str, Any]] = None):
+        """Checkpoint-artifact logging (wandb_logger.py:306-329 logs the
+        best checkpoint as a wandb artifact)."""
+        pass
+
     def log_summary(self, stats: Dict[str, float]):
         pass
 
     def finish(self):
         pass
+
+
+def _histogram_summaries(tensors, prefix: str, bins: int = 64):
+    """Flatten a pytree into {name: histogram-dict} summaries."""
+    import jax
+    import numpy as np
+
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(tensors)[0]
+    for path, leaf in flat:
+        arr = np.asarray(leaf).ravel()
+        if arr.size == 0 or not np.issubdtype(arr.dtype, np.number):
+            continue
+        arr = arr.astype(np.float64)
+        name = prefix + "/" + "/".join(
+            getattr(p, "key", getattr(p, "name", str(getattr(p, "idx", p))))
+            for p in path)
+        counts, edges = np.histogram(arr[np.isfinite(arr)], bins=bins)
+        out[name] = {
+            "min": float(arr.min()), "max": float(arr.max()),
+            "mean": float(arr.mean()), "std": float(arr.std()),
+            "counts": counts.tolist(), "edges": edges.tolist(),
+        }
+    return out
 
 
 def render_detections(image_norm, boxes, labels, scores):
@@ -91,6 +131,19 @@ class JsonlLogger(NoOpLogger):
             rendered.save(img_dir / f"epoch_{epoch}_{i}.jpg")
         self._write({"event": "images", "epoch": epoch, "count": len(images)})
 
+    def log_histograms(self, epoch, tensors, prefix="params"):
+        self._write({"event": "histograms", "epoch": epoch,
+                     "histograms": _histogram_summaries(tensors, prefix)})
+
+    def log_table(self, name, columns, rows):
+        self._write({"event": "table", "name": name,
+                     "columns": list(columns),
+                     "rows": [list(r) for r in rows]})
+
+    def log_artifact(self, path, name, type="model", metadata=None):
+        self._write({"event": "artifact", "name": name, "type": type,
+                     "path": str(path), "metadata": metadata or {}})
+
     def log_summary(self, stats):
         self._write({"event": "summary",
                      **{k: float(v) for k, v in stats.items()}})
@@ -117,6 +170,38 @@ class WandbLogger(NoOpLogger):
 
     def log_epoch(self, epoch, stats):
         self._wandb.log({"epoch": epoch, **stats})
+
+    def log_histograms(self, epoch, tensors, prefix="params"):
+        import numpy as np
+
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(tensors)[0]
+        payload = {"epoch": epoch}
+        for path, leaf in flat:
+            arr = np.asarray(leaf).ravel()
+            if arr.size == 0 or not np.issubdtype(arr.dtype, np.number):
+                continue
+            name = prefix + "/" + "/".join(
+                getattr(p, "key", getattr(p, "name", str(getattr(p, "idx", p))))
+                for p in path)
+            payload[name] = self._wandb.Histogram(
+                np.asarray(arr[np.isfinite(arr)], dtype=np.float64))
+        self._wandb.log(payload)
+
+    def log_table(self, name, columns, rows):
+        self._wandb.log({name: self._wandb.Table(columns=list(columns),
+                                                 data=[list(r) for r in rows])})
+
+    def log_artifact(self, path, name, type="model", metadata=None):
+        art = self._wandb.Artifact(name, type=type, metadata=metadata or {})
+        from pathlib import Path as _P
+        p = _P(path)
+        if p.is_dir():
+            art.add_dir(str(p))
+        else:
+            art.add_file(str(p))
+        self._run.log_artifact(art)
 
     def log_summary(self, stats):
         for k, v in stats.items():

@@ -96,6 +96,9 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
             if logger_backend and step_i % 50 == 0:
                 logger_backend.log_batch(epoch, step_i, metrics)
 
+        # host-side meter sync across processes (reference: train.py:315 /
+        # misc.py:240-251); train losses are already globally reduced.
+        logger.synchronize_between_processes()
         epoch_stats = logger.global_averages()
         epoch_loss = epoch_stats.get("loss", float("inf"))
         print_fn(f"Epoch {epoch} done in {time.time()-t0:.1f}s  "
@@ -109,9 +112,19 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
         if logger_backend:
             logger_backend.log_epoch(epoch, stats)
 
+        if (logger_backend and cfg.train.log_histograms_every
+                and epoch % cfg.train.log_histograms_every == 0):
+            # wandb model-watch equivalent (wandb_logger.py:101-120, 272-288)
+            logger_backend.log_histograms(epoch, jax.device_get(state.params))
+
         is_best = epoch_loss < best_loss
         best_loss = min(best_loss, epoch_loss)
         ckpt.save_epoch(epoch, jax.device_get(state),
                         every=cfg.train.checkpoint_every, is_best=is_best)
+        if is_best and logger_backend:
+            # best-checkpoint artifact (wandb_logger.py:306-329)
+            logger_backend.log_artifact(
+                str(ckpt._path("best_checkpoint")), "best_checkpoint",
+                type="model", metadata={"epoch": epoch, "loss": epoch_loss})
 
     return stats

@@ -95,3 +95,28 @@ class MetricLogger:
 
     def global_averages(self) -> Dict[str, float]:
         return {k: m.global_avg for k, m in self.meters.items()}
+
+    def synchronize_between_processes(self):
+        """Sum each meter's (count, total) across processes so global_avg is
+        a true global average (reference: SmoothedValue.synchronize_between_
+        processes, misc.py:240-251 — a dist.all_reduce of [count, total]).
+
+        Host-side meters (iter/data time, per-process eval losses) are the
+        only ones that need this; train-step losses come back globally
+        reduced from the pjit'd step already. Meter NAME SETS can differ
+        across processes (ragged), so this gathers a dict of fixed-shape
+        pairs via the byte-buffer all_gather rather than a collective.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from ..parallel.distributed import all_gather_objects
+
+        local = {k: (m.count, m.total) for k, m in self.meters.items()}
+        for proc, other in enumerate(all_gather_objects(local)):
+            if proc == jax.process_index():
+                continue
+            for k, (count, total) in other.items():
+                self.meters[k].count += count
+                self.meters[k].total += total
