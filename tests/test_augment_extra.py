@@ -68,3 +68,31 @@ def test_export_roundtrip():
         np.testing.assert_allclose(np.asarray(out["pred_logits"]),
                                    np.asarray(want["pred_logits"]),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_export_polymorphic_batch():
+    """batch_size=None exports one artifact serving any batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_model import tiny_config
+    from wildlifemapper_tpu.compat.export import (load_exported,
+                                                  save_exported)
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = tiny_config()
+    m = WildlifeMapper(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = save_exported(m, params, f"{d}/model.stablehlo",
+                             batch_size=None, img_size=64)
+        call = load_exported(str(path))
+        for b in (1, 3):
+            x = jnp.ones((b, 64, 64, 3))
+            out = call(params, x)
+            assert out["pred_logits"].shape[0] == b
+            want = m.apply(params, x)
+            np.testing.assert_allclose(np.asarray(out["pred_logits"]),
+                                       np.asarray(want["pred_logits"]),
+                                       atol=1e-4, rtol=1e-4)

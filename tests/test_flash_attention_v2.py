@@ -65,6 +65,24 @@ def test_multiple_k_blocks(rng):
         fa2.DEFAULT_BQ, fa2.DEFAULT_BK = old_bq, old_bk
 
 
+def test_non_pow2_grid_multiple_k_blocks(rng):
+    """Content-crop shape analog: a grid width that does not divide the
+    default power-of-two k-block (48-grid on the real model; 12-grid here
+    with DEFAULT_BK=48 -> rows=4, 3 k-steps)."""
+    import wildlifemapper_tpu.ops.flash_attention_v2 as fa2
+    old_bq, old_bk = fa2.DEFAULT_BQ, fa2.DEFAULT_BK
+    fa2.DEFAULT_BQ, fa2.DEFAULT_BK = 48, 48
+    try:
+        qkv, rel_h, rel_w = _inputs(rng, b=1, h=12, w=12, heads=2, d=16)
+        rhT, rw = pack_rel_global(rel_h, rel_w, 2, (12, 12))
+        out = flash_attention_packed(qkv, rhT, rw, 0.25, 2, (12, 12))
+        want = _oracle(qkv, rel_h, rel_w, 0.25, 2, (12, 12))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+    finally:
+        fa2.DEFAULT_BQ, fa2.DEFAULT_BK = old_bq, old_bk
+
+
 def test_gradients_match(rng):
     qkv, rel_h, rel_w = _inputs(rng, b=1, h=4, w=4, heads=2, d=16)
     rhT, rw = pack_rel_global(rel_h, rel_w, 2, (4, 4))

@@ -64,6 +64,37 @@ def test_train_step_decreases_loss(rng):
     assert np.isfinite(losses).all()
 
 
+def test_ema_and_warmup(rng):
+    cfg = tiny_full_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9,
+                                       warmup_steps=5))
+    builder = StepBuilder(cfg)
+    params = builder.init_params(jax.random.PRNGKey(0))
+    state = builder.init_state(params, steps_per_epoch=10)
+    assert state.ema_params is not None
+    # snapshot before stepping: donate_argnums invalidates the init buffers
+    i0 = np.array(jax.tree.leaves(
+        params["params"]["box_decoder"]["class_embed"])[0])
+    step = builder.jit_train_step()
+    batch = _fake_batch(rng, cfg)
+    drng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, m = step(state, batch, drng)
+        assert np.isfinite(float(m["loss"]))
+    # EMA lags params: shadow of a trainable kernel sits strictly between
+    # the init value and the live value.
+    live = state.params["params"]["box_decoder"]["class_embed"]
+    ema = state.ema_params["params"]["box_decoder"]["class_embed"]
+    l0 = jax.tree.leaves(live)[0]
+    e0 = jax.tree.leaves(ema)[0]
+    assert not np.allclose(l0, i0)          # it trained
+    assert not np.allclose(e0, l0)          # ema lags
+    d_live = float(jnp.abs(l0 - i0).max())
+    d_ema = float(jnp.abs(e0 - i0).max())
+    assert 0 < d_ema < d_live
+
+
 def test_freeze_policy_keeps_encoder_fixed(rng):
     cfg = tiny_full_config()
     builder = StepBuilder(cfg)
@@ -108,6 +139,17 @@ def test_mesh_sharded_train_step(rng):
     # params with a sharded dim actually live distributed
     qkv = state.params["params"]["image_encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
     assert len(qkv.sharding.device_set) >= 2
+    # optimizer moments follow the param shardings (not replicated). The
+    # frozen encoder blocks carry no moments (set_to_zero), so check a
+    # *trainable* TP-sharded param: hfc_attn's q_proj kernel.
+    from jax.sharding import PartitionSpec as P
+    qp = state.params["params"]["image_encoder"]["hfc_attn"]["cross_attn"][
+        "q_proj"]["kernel"]
+    assert qp.sharding.spec == P(None, "model")
+    mu_leaves = [l for l in jax.tree.leaves(state.opt_state)
+                 if hasattr(l, "shape") and l.shape == qp.shape]
+    assert mu_leaves, "no moment leaves mirror the q_proj kernel"
+    assert any(l.sharding.spec == P(None, "model") for l in mu_leaves)
 
 
 @pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")

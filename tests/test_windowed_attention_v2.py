@@ -107,8 +107,8 @@ def test_block_packed_vs_grouped_impls(rng):
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
     kwargs = dict(dim=64, num_heads=4, window_size=4, input_size=(8, 8))
     b_plain = Block(use_flash=False, **kwargs)
-    b_v1 = Block(use_flash=True, windowed_impl="grouped", **kwargs)
-    b_v2 = Block(use_flash=True, windowed_impl="packed", **kwargs)
+    b_v1 = Block(use_flash=True, attn_impl="grouped", **kwargs)
+    b_v2 = Block(use_flash=True, attn_impl="packed", **kwargs)
     params = b_plain.init(jax.random.PRNGKey(0), x)
     params = jax.tree.map(
         lambda p: jnp.asarray(

@@ -40,6 +40,10 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 compute (the reference's flag is inert; ours works)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (not in reference)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of trainable params, 0=off (not in reference)")
     # matcher / criterion (train.py:72-85)
     p.add_argument("--set_cost_class", type=float, default=1)
     p.add_argument("--set_cost_bbox", type=float, default=5)
@@ -60,6 +64,10 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--num_queries", type=int, default=51)
     p.add_argument("--hfc_rate", type=float, default=0.125)
     p.add_argument("--no_flash_attention", action="store_true")
+    p.add_argument("--content_size", type=int, default=None,
+                   help="content-crop fast path: run the ViT blocks on the "
+                        "content grid only (e.g. 768 for the standard "
+                        "768-in-1024 canvas); None = reference behavior")
     # eval
     p.add_argument("--confidence_threshold", type=float, default=0.05)
     p.add_argument("--fix_hw_swap", action="store_true",
@@ -84,6 +92,7 @@ def config_from_args(args) -> Config:
     model = dataclasses.replace(
         model,
         img_size=args.canvas_size,
+        content_size=getattr(args, "content_size", None),
         hfc=dataclasses.replace(model.hfc, rate=args.hfc_rate),
         decoder=dataclasses.replace(model.decoder,
                                     num_queries=args.num_queries))
@@ -108,6 +117,7 @@ def config_from_args(args) -> Config:
             lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
             lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,
             seed=args.seed, use_amp=args.use_amp,
+            warmup_steps=args.warmup_steps, ema_decay=args.ema_decay,
             log_histograms_every=args.log_histograms_every),
         eval=EvalConfig(confidence_threshold=args.confidence_threshold,
                         hw_swap_compat=not args.fix_hw_swap),

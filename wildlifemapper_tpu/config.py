@@ -99,6 +99,18 @@ class ModelConfig:
     #   "grouped" — v1: per-(window-)head operands (keeps the 5-D
     #               transpose; reference-shaped data flow).
     attn_impl: str = "packed"
+    # Content-crop fast path. The reference zero-pads the resized 768px
+    # content into a 1024px canvas (misc.py:50, dataloader_coco.py:278-290)
+    # and then spends 44% of the encoder FLOPs attending bias-only pad
+    # tokens. With content_size set (e.g. 768), the prologue (HFC, patch
+    # embeds, abs pos, HFC adaptor — incl. the 64-grid scrambled reshape the
+    # released weights depend on) runs at the full canvas for exact parity,
+    # then the token grid is cropped to content_size/patch (48x48) for the
+    # ViT blocks, neck, and decoder. Checkpoint layout is unchanged: pos
+    # embeds are sliced top-left and the global-attention rel-pos tables are
+    # center-sliced (same patch resolution => same relative-distance
+    # embeddings). None = full-canvas reference behavior.
+    content_size: Optional[int] = None
 
     @property
     def grid_size(self) -> int:
@@ -107,6 +119,12 @@ class ModelConfig:
     @property
     def num_logits(self) -> int:
         return self.num_classes + 1  # 8
+
+    @property
+    def content_grid(self) -> Optional[int]:
+        if self.content_size is None:
+            return None
+        return self.content_size // self.patch_size  # 48 for 768
 
     @property
     def compute_dtype(self):
@@ -175,6 +193,11 @@ class TrainConfig:
     # the dense-PE gaussian matrix is a buffer (never trained).
     freeze_encoder: bool = True
     use_amp: bool = False         # bf16 compute in the train step
+    # Not in the reference (useful when training from scratch rather than
+    # from the surgically-loaded SAM checkpoint): linear LR warmup steps and
+    # an exponential moving average of the trainable params (0 = off).
+    warmup_steps: int = 0
+    ema_decay: float = 0.0
     # Param-histogram logging cadence in epochs (0 = off). Equivalent of the
     # reference's wandb model watch / histogram tables
     # (wandb_logger.py:101-120, 272-288).

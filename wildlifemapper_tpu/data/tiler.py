@@ -51,15 +51,18 @@ def make_tile_grid(height: int, width: int, tile: int = 1024,
     return TileGrid((height, width), tile, stride, origins)
 
 
-def extract_tiles(image: np.ndarray, grid: TileGrid) -> np.ndarray:
+def extract_tiles(image: np.ndarray, grid: TileGrid,
+                  indices: Sequence[int] = None) -> np.ndarray:
     """(H, W, C) -> (N, tile, tile, C); border tiles zero-padded if the
-    image is smaller than one tile."""
+    image is smaller than one tile. With `indices`, extracts only those
+    tiles (streaming callers keep one batch resident at a time)."""
     t = grid.tile
-    h, w = image.shape[:2]
-    out = np.zeros((grid.num_tiles, t, t, image.shape[2]), image.dtype)
-    for i, (y0, x0) in enumerate(grid.origins):
+    idxs = range(grid.num_tiles) if indices is None else list(indices)
+    out = np.zeros((len(idxs), t, t, image.shape[2]), image.dtype)
+    for row, i in enumerate(idxs):
+        y0, x0 = grid.origins[i]
         patch = image[y0:y0 + t, x0:x0 + t]
-        out[i, :patch.shape[0], :patch.shape[1]] = patch
+        out[row, :patch.shape[0], :patch.shape[1]] = patch
     return out
 
 

@@ -72,19 +72,18 @@ class OrthomosaicDetector:
 
     def detect(self, mosaic: np.ndarray) -> Dict[str, np.ndarray]:
         """mosaic: (H, W, 3) uint8. Returns fused detections in mosaic
-        coordinates: boxes (N, 4) xyxy, scores (N,), labels (N,)."""
+        coordinates: boxes (N, 4) xyxy, scores (N,), labels (N,).
+
+        Double-buffered: jax dispatch is async, so batch i computes on the
+        device while the host extracts tiles for batch i+1 and fuses the
+        results of batch i-1 (tile IO overlapped with device compute)."""
         h, w = mosaic.shape[:2]
         grid = tiler.make_tile_grid(h, w, self.cfg.img_size, self.overlap)
-        tiles = tiler.extract_tiles(mosaic, grid)
 
         all_boxes, all_scores, all_labels = [], [], []
-        for idxs in tiler.batched(range(grid.num_tiles), self.tile_batch):
-            batch = tiles[idxs]
-            pad = self.tile_batch - len(idxs)
-            if pad:
-                batch = np.concatenate(
-                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-            dets = jax.device_get(self._run(self.params, jnp.asarray(batch)))
+
+        def drain(idxs, dets_dev):
+            dets = jax.device_get(dets_dev)
             for j, ti in enumerate(idxs):
                 keep = dets["keep"][j]
                 if not keep.any():
@@ -94,6 +93,21 @@ class OrthomosaicDetector:
                 all_boxes.append(boxes)
                 all_scores.append(dets["scores"][j][keep])
                 all_labels.append(dets["labels"][j][keep])
+
+        pending = None
+        for idxs in tiler.batched(range(grid.num_tiles), self.tile_batch):
+            # per-batch extraction: only tile_batch tiles resident at a time
+            batch = tiler.extract_tiles(mosaic, grid, idxs)
+            pad = self.tile_batch - len(idxs)
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+            dets_dev = self._run(self.params, jnp.asarray(batch))  # async
+            if pending is not None:
+                drain(*pending)
+            pending = (idxs, dets_dev)
+        if pending is not None:
+            drain(*pending)
 
         if not all_boxes:
             return {"boxes": np.zeros((0, 4)), "scores": np.zeros(0),

@@ -47,13 +47,17 @@ class WildlifeMapper(nn.Module):
             hfc_embed_dim=cfg.hfc.embed_dim, hfc_num_heads=cfg.hfc.num_heads,
             hfc_ffn_dim=cfg.hfc.ffn_dim, hfc_proj_dim=cfg.hfc.proj_dim,
             hfc_dropout=cfg.hfc.dropout, use_flash=cfg.use_flash_attention,
-            attn_impl=cfg.attn_impl,
+            attn_impl=cfg.attn_impl, content_grid=cfg.content_grid,
             dtype=dtype, name="image_encoder")(
                 images, hfc, deterministic=deterministic)
 
         pe = PositionEmbeddingRandom(
             num_pos_feats=cfg.decoder.transformer_dim // 2,
             grid_size=cfg.grid_size, dtype=dtype, name="pos_encoder")()
+        if cfg.content_grid is not None and cfg.content_grid < cfg.grid_size:
+            # Content-crop: keep each content token's PE bit-identical to the
+            # full-canvas grid (generated at grid_size, sliced top-left).
+            pe = pe[:cfg.content_grid, :cfg.content_grid]
 
         out = BoxDecoder(
             transformer_dim=cfg.decoder.transformer_dim,

@@ -98,6 +98,13 @@ class RelPosAttention(nn.Module):
     use_rel_pos: bool = True
     use_flash: bool = False
     attn_impl: str = "packed"
+    # Grid the rel-pos *parameters* are sized for (checkpoint shape). When
+    # larger than input_size (content-crop mode), the tables are
+    # center-sliced: patch resolution is unchanged, so relative distance
+    # d maps to the same table row as on the full grid — slicing (not the
+    # reference's interpolation, image_encoder.py:328-335, which is meant
+    # for resolution changes) preserves the trained embeddings exactly.
+    table_size: Optional[Tuple[int, int]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,10 +119,17 @@ class RelPosAttention(nn.Module):
 
         rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
+            ts = self.table_size or self.input_size
             rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
-                                   (2 * self.input_size[0] - 1, head_dim), jnp.float32)
+                                   (2 * ts[0] - 1, head_dim), jnp.float32)
             rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
-                                   (2 * self.input_size[1] - 1, head_dim), jnp.float32)
+                                   (2 * ts[1] - 1, head_dim), jnp.float32)
+            if ts[0] > self.input_size[0]:
+                off = ts[0] - self.input_size[0]
+                rel_pos_h = rel_pos_h[off:off + 2 * self.input_size[0] - 1]
+            if ts[1] > self.input_size[1]:
+                off = ts[1] - self.input_size[1]
+                rel_pos_w = rel_pos_w[off:off + 2 * self.input_size[1] - 1]
 
         if (self.use_flash and self.use_rel_pos
                 and self.attn_impl == "packed"):
@@ -223,6 +237,7 @@ class Block(nn.Module):
     use_rel_pos: bool = True
     window_size: int = 0          # 0 = global attention
     input_size: Tuple[int, int] = (64, 64)
+    table_size: Optional[Tuple[int, int]] = None  # rel-pos param grid
     use_flash: bool = False
     attn_impl: str = "packed"
     dtype: Dtype = jnp.float32
@@ -243,6 +258,8 @@ class Block(nn.Module):
                             use_rel_pos=self.use_rel_pos,
                             use_flash=self.use_flash,
                             attn_impl=self.attn_impl,
+                            table_size=(None if self.window_size > 0
+                                        else self.table_size),
                             dtype=self.dtype, name="attn")(x)
 
         if self.window_size > 0:
@@ -299,6 +316,10 @@ class ImageEncoderViT(nn.Module):
     hfc_dropout: float = 0.1
     use_flash: bool = False
     attn_impl: str = "packed"
+    # Content-crop (see ModelConfig.content_size): run the prologue at the
+    # full canvas grid, then crop the token grid top-left to content_grid
+    # for the transformer blocks + neck. None = full grid.
+    content_grid: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -325,13 +346,21 @@ class ImageEncoderViT(nn.Module):
                 hfc_emb, x, deterministic=deterministic)
         x = adaptor_out + x
 
+        run_grid = grid
+        if self.content_grid is not None and self.content_grid < grid:
+            # Pad tokens beyond the content are bias-only (the collate canvas
+            # is zero there, misc.py:50); drop them before the O(N^2) blocks.
+            run_grid = self.content_grid
+            x = x[:, :run_grid, :run_grid, :]
+
         for i in range(self.depth):
             x = Block(dim=self.embed_dim, num_heads=self.num_heads,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       use_rel_pos=self.use_rel_pos,
                       window_size=(0 if i in self.global_attn_indexes
                                    else self.window_size),
-                      input_size=(grid, grid), use_flash=self.use_flash,
+                      input_size=(run_grid, run_grid),
+                      table_size=(grid, grid), use_flash=self.use_flash,
                       attn_impl=self.attn_impl,
                       dtype=self.dtype, name=f"blocks_{i}")(x)
 

@@ -134,14 +134,18 @@ def pack_rel_global(rel_h, rel_w, num_heads: int, grid_hw: Tuple[int, int]):
     return rhT, rw
 
 
-def _block_sizes(n: int) -> Tuple[int, int]:
+def _block_sizes(n: int, gh: int, gw: int) -> Tuple[int, int]:
     bq = min(DEFAULT_BQ, n)
-    bk = min(DEFAULT_BK, n)
     while n % bq:
         bq //= 2
-    while n % bk:
-        bk //= 2
-    return bq, bk
+    # Each k-tile must cover whole grid rows (bk = rows*gw) so the per-tile
+    # rel_h sublane slice + expansion matmul line up: rows is the largest
+    # divisor of gh with rows*gw <= DEFAULT_BK (64-grid -> 8*64=512,
+    # 48-grid content crop -> 8*48=384).
+    rows = min(gh, max(1, DEFAULT_BK // gw))
+    while gh % rows:
+        rows -= 1
+    return bq, rows * gw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -158,8 +162,8 @@ def _v2g_fwd(qkv, rhT, rw, scale, num_heads, grid_hw):
     c = c3 // 3
     d = c // num_heads
     gh_pad = _pad8(gh)
-    bq, bk = _block_sizes(n)
-    assert bk % gw == 0, (bk, gw)
+    bq, bk = _block_sizes(n, gh, gw)
+    assert bk % gw == 0 and n % bk == 0, (bk, gw, n)
 
     kernel = functools.partial(_fwd_kernel, scale=scale,
                                num_heads=num_heads, grid_hw=grid_hw, bk=bk)

@@ -86,6 +86,29 @@ def shard_params(params, mesh: Mesh, use_tp: bool = True):
     return traverse_util.unflatten_dict(out, sep="/")
 
 
+def shard_opt_state(opt_state, params, mesh: Mesh, use_tp: bool = True):
+    """NamedSharding pytree for an optax state whose moment trees mirror the
+    param tree (AdamW mu/nu). Each state leaf whose trailing dict path + shape
+    matches a param inherits that param's sharding; everything else (counts,
+    MaskedNodes, schedules) is replicated. Keeps TP runs from replicating 2x
+    param-size moments on every chip (the ViT-H case TP exists for)."""
+    param_shard = traverse_util.flatten_dict(
+        shard_params(params, mesh, use_tp=use_tp), sep="/")
+    param_shape = {k: np.shape(v) for k, v in
+                   traverse_util.flatten_dict(params, sep="/").items()}
+    rep = NamedSharding(mesh, P())
+
+    def assign(path, leaf):
+        keys = [p.key for p in path if isinstance(p, jax.tree_util.DictKey)]
+        for i in range(len(keys)):
+            cand = "/".join(keys[i:])
+            if cand in param_shard and param_shape[cand] == np.shape(leaf):
+                return param_shard[cand]
+        return rep
+
+    return jax.tree_util.tree_map_with_path(assign, opt_state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P("data"))

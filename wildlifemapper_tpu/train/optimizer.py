@@ -39,19 +39,26 @@ def group_labels(params: Dict[str, Any], freeze_encoder: bool = True):
 
 
 def step_lr(base_lr: float, steps_per_epoch: int, lr_drop_epochs: int,
-            factor: float) -> optax.Schedule:
-    """StepLR: lr * factor^(epoch // lr_drop_epochs)."""
-    return optax.exponential_decay(
+            factor: float, warmup_steps: int = 0) -> optax.Schedule:
+    """StepLR: lr * factor^(epoch // lr_drop_epochs), with optional linear
+    warmup from 0 (not in the reference — useful when training from
+    scratch instead of the surgically-loaded SAM checkpoint)."""
+    decay = optax.exponential_decay(
         init_value=base_lr, transition_steps=lr_drop_epochs * steps_per_epoch,
         decay_rate=factor, staircase=True)
+    if warmup_steps <= 0:
+        return decay
+    warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
 
 
 def build_optimizer(params: Dict[str, Any], cfg: TrainConfig,
                     steps_per_epoch: int) -> optax.GradientTransformation:
+    warmup = getattr(cfg, "warmup_steps", 0)
     sched_main = step_lr(cfg.lr, steps_per_epoch, cfg.lr_drop,
-                         cfg.lr_drop_factor)
+                         cfg.lr_drop_factor, warmup)
     sched_hfc = step_lr(cfg.hfc_lr, steps_per_epoch, cfg.lr_drop,
-                        cfg.lr_drop_factor)
+                        cfg.lr_drop_factor, warmup)
 
     def adamw(sched):
         return optax.adamw(learning_rate=sched, weight_decay=cfg.weight_decay)

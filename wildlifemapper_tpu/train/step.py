@@ -36,6 +36,9 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # Exponential moving average of params (TrainConfig.ema_decay > 0);
+    # None when EMA is off. Not a reference feature (TODO queue #7).
+    ema_params: Any = None
 
 
 def _split_params(params: Dict[str, Any], freeze_encoder: bool):
@@ -73,8 +76,10 @@ class StepBuilder:
 
     def init_state(self, params, steps_per_epoch: int) -> TrainState:
         self.tx = build_optimizer(params, self.cfg.train, steps_per_epoch)
+        ema = (jax.tree.map(jnp.copy, params)
+               if self.cfg.train.ema_decay > 0 else None)
         return TrainState(params=params, opt_state=self.tx.init(params["params"]),
-                          step=jnp.zeros((), jnp.int32))
+                          step=jnp.zeros((), jnp.int32), ema_params=ema)
 
     # ---- steps -----------------------------------------------------------
 
@@ -117,8 +122,13 @@ class StepBuilder:
             metrics = dict(losses)
             metrics["grad_norm"] = optax.global_norm(
                 traverse_util.unflatten_dict(grads_t, sep="/"))
+            ema = state.ema_params
+            if ema is not None and cfg.train.ema_decay > 0:
+                d = cfg.train.ema_decay
+                ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                   ema, new_params)
             new_state = TrainState(params=new_params, opt_state=new_opt,
-                                   step=state.step + 1)
+                                   step=state.step + 1, ema_params=ema)
             return new_state, metrics
 
         return train_step
@@ -161,6 +171,15 @@ class StepBuilder:
                                       use_tp=self.use_tp)
         params = jax.device_put(state.params["params"], shard)
         rep = mesh_lib.replicated(self.mesh)
-        opt_state = jax.device_put(state.opt_state, rep)
+        # Optimizer moments follow their params' shardings (TP runs would
+        # otherwise replicate 2x param-size state on every chip).
+        opt_shard = mesh_lib.shard_opt_state(
+            state.opt_state, state.params["params"], self.mesh,
+            use_tp=self.use_tp)
+        opt_state = jax.device_put(state.opt_state, opt_shard)
+        ema = state.ema_params
+        if ema is not None:
+            ema = {"params": jax.device_put(ema["params"], shard)}
         return TrainState(params={"params": params}, opt_state=opt_state,
-                          step=jax.device_put(state.step, rep))
+                          step=jax.device_put(state.step, rep),
+                          ema_params=ema)
