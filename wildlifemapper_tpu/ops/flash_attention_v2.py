@@ -135,17 +135,30 @@ def pack_rel_global(rel_h, rel_w, num_heads: int, grid_hw: Tuple[int, int]):
 
 
 def _block_sizes(n: int, gh: int, gw: int) -> Tuple[int, int]:
-    bq = min(DEFAULT_BQ, n)
-    while n % bq:
-        bq //= 2
+    # bq: the largest 64-aligned divisor of n up to 1.25*DEFAULT_BQ. Plain
+    # halving collapses to 256 on the 48-grid (2304 tokens) and halves MXU
+    # efficiency; 2304 -> 576, 4096 -> 512.
+    # bq is also the lane dim of the transposed rel_h block, so it must be a
+    # multiple of 128. Plain halving collapses to 256 on the 48-grid (2304
+    # tokens) and halves MXU efficiency; 2304 -> 768, 4096 -> 512.
+    bq = None
+    for cand in range(128, int(DEFAULT_BQ * 1.5) + 1, 128):
+        if n % cand == 0:
+            bq = cand
+    if bq is None:  # tiny/odd n (tests): largest power-of-two divisor
+        bq = min(DEFAULT_BQ, n)
+        while n % bq:
+            bq //= 2
     # Each k-tile must cover whole grid rows (bk = rows*gw) so the per-tile
     # rel_h sublane slice + expansion matmul line up: rows is the largest
-    # divisor of gh with rows*gw <= DEFAULT_BK (64-grid -> 8*64=512,
-    # 48-grid content crop -> 8*48=384).
-    rows = min(gh, max(1, DEFAULT_BK // gw))
-    while gh % rows:
-        rows -= 1
-    return bq, rows * gw
+    # divisor of gh with rows*gw <= 1.5*DEFAULT_BK and rows a multiple of 8
+    # (sublane-granular rhT slices). 64-grid -> 8*64=512, 48-grid -> 16*48=768.
+    step = 8 if gh % 8 == 0 else 1
+    best = step
+    for cand in range(step, gh + 1, step):
+        if gh % cand == 0 and cand * gw <= int(DEFAULT_BK * 1.5):
+            best = cand
+    return bq, best * gw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
