@@ -1,0 +1,114 @@
+"""Drift measured as mAP, not tensor distance (VERDICT weak #7).
+
+f32 full-canvas detections (the bit-parity-vs-torch path) act as pseudo
+ground truth; bf16+flash and bf16+crop detections are scored against them
+with the repo's COCOeval on synthetic-but-structured imagery (dark ellipse
+'animals' on a smooth background — unlike white noise, detections are
+stable under small perturbations).
+"""
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+
+from wildlifemapper_tpu.config import model_config
+from wildlifemapper_tpu.eval.coco_eval import CocoEvaluator
+from wildlifemapper_tpu.eval.postprocess import postprocess
+from wildlifemapper_tpu.models import WildlifeMapper
+
+N_IMGS = 16
+B = 4
+
+
+class Index:
+    def __init__(self, anns_by_img, cats):
+        self._anns = anns_by_img
+        self.categories = [{"id": int(c)} for c in cats]
+
+    def annotations(self, img_id):
+        return self._anns.get(img_id, [])
+
+
+def synth_tiles(rng, n):
+    tiles = np.zeros((n, 1024, 1024, 3), np.float32)
+    yy, xx = np.mgrid[:768, :768]
+    for i in range(n):
+        bg = rng.normal(0.0, 0.05, size=(768, 768, 3)).astype(np.float32)
+        bg += (np.sin(xx / 97.0 + i) * 0.3)[..., None]
+        for _ in range(int(rng.integers(3, 12))):
+            cy, cx = rng.uniform(40, 728, 2)
+            ry, rx = rng.uniform(6, 24, 2)
+            m = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+            bg[m] = rng.uniform(-2.5, -1.5)
+        tiles[i, :768, :768] = bg
+    return tiles
+
+
+def run(cfg, params, tiles):
+    model = WildlifeMapper(cfg)
+
+    @jax.jit
+    def fwd(p, x, sz):
+        return postprocess(model.apply(p, x), sz, 0.05)
+
+    outs = []
+    sizes = jnp.full((B, 2), 1024, jnp.int32)
+    for i in range(0, len(tiles), B):
+        outs.append(jax.device_get(
+            fwd(params, jnp.asarray(tiles[i:i + B]), sizes)))
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def map_vs(gt_dets, pred_dets):
+    anns, cats = {}, set()
+    for i in range(N_IMGS):
+        keep = gt_dets["scores"][i] > 0.3
+        b = gt_dets["boxes"][i][keep]
+        labs = gt_dets["labels"][i][keep]
+        anns[i] = [{"bbox": [b[j, 0], b[j, 1], b[j, 2] - b[j, 0],
+                             b[j, 3] - b[j, 1]],
+                    "area": float((b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])),
+                    "category_id": int(labs[j]), "iscrowd": 0}
+                   for j in range(len(b))]
+        cats |= set(int(l) for l in labs)
+    ev = CocoEvaluator(Index(anns, sorted(cats or {1})))
+    preds = {}
+    for i in range(N_IMGS):
+        k = pred_dets["scores"][i] > 0.05
+        preds[i] = {"boxes": pred_dets["boxes"][i][k],
+                    "scores": pred_dets["scores"][i][k],
+                    "labels": pred_dets["labels"][i][k]}
+    ev.update(preds)
+    ev.accumulate()
+    s = ev.summarize()
+    return s["AP"], s["AP50"]
+
+
+def main():
+    rng = np.random.default_rng(0)
+    tiles = synth_tiles(rng, N_IMGS)
+
+    cfg32 = model_config("vit_b", dtype="float32")
+    cfg16 = model_config("vit_b", dtype="bfloat16", use_flash_attention=True)
+    cfg_crop = dataclasses.replace(cfg16, content_size=768)
+
+    m32 = WildlifeMapper(cfg32)
+    params = jax.jit(m32.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1024, 1024, 3)))
+
+    gt = run(cfg32, params, tiles)
+    n_gt = int((gt["scores"] > 0.3).sum())
+    print(f"pseudo-GT detections: {n_gt}", flush=True)
+    for tag, cfg in (("f32-self ", cfg32), ("bf16+flash", cfg16),
+                     ("bf16+crop ", cfg_crop)):
+        dets = run(cfg, params, tiles)
+        ap, ap50 = map_vs(gt, dets)
+        print(f"{tag}: AP={ap:.4f} AP50={ap50:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
