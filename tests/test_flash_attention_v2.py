@@ -48,12 +48,12 @@ def test_forward_matches_oracle(rng, hw):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_multiple_k_blocks(rng):
-    """n large enough that the kernel iterates several k blocks, exercising
-    the online-softmax scratch carry."""
+def test_multiple_q_blocks(rng):
+    """n large enough that the grid iterates several q blocks (the k
+    dimension is always full-width in the single-pass-softmax kernel)."""
     import wildlifemapper_tpu.ops.flash_attention_v2 as fa2
-    old_bq, old_bk = fa2.DEFAULT_BQ, fa2.DEFAULT_BK
-    fa2.DEFAULT_BQ, fa2.DEFAULT_BK = 32, 16
+    old_bq = fa2.DEFAULT_BQ
+    fa2.DEFAULT_BQ = 32
     try:
         qkv, rel_h, rel_w = _inputs(rng, b=1, h=8, w=8, heads=2, d=16)
         rhT, rw = pack_rel_global(rel_h, rel_w, 2, (8, 8))
@@ -62,16 +62,15 @@ def test_multiple_k_blocks(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
     finally:
-        fa2.DEFAULT_BQ, fa2.DEFAULT_BK = old_bq, old_bk
+        fa2.DEFAULT_BQ = old_bq
 
 
-def test_non_pow2_grid_multiple_k_blocks(rng):
-    """Content-crop shape analog: a grid width that does not divide the
-    default power-of-two k-block (48-grid on the real model; 12-grid here
-    with DEFAULT_BK=48 -> rows=4, 3 k-steps)."""
+def test_non_pow2_grid(rng):
+    """Content-crop shape analog: a grid width that does not divide a
+    power-of-two q-block (48-grid on the real model; 12-grid here)."""
     import wildlifemapper_tpu.ops.flash_attention_v2 as fa2
-    old_bq, old_bk = fa2.DEFAULT_BQ, fa2.DEFAULT_BK
-    fa2.DEFAULT_BQ, fa2.DEFAULT_BK = 48, 48
+    old_bq = fa2.DEFAULT_BQ
+    fa2.DEFAULT_BQ = 48
     try:
         qkv, rel_h, rel_w = _inputs(rng, b=1, h=12, w=12, heads=2, d=16)
         rhT, rw = pack_rel_global(rel_h, rel_w, 2, (12, 12))
@@ -80,7 +79,7 @@ def test_non_pow2_grid_multiple_k_blocks(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
     finally:
-        fa2.DEFAULT_BQ, fa2.DEFAULT_BK = old_bq, old_bk
+        fa2.DEFAULT_BQ = old_bq
 
 
 def test_gradients_match(rng):

@@ -204,9 +204,10 @@ class RelPosAttention(nn.Module):
     def _packed_global(self, qkv, rel_pos_h, rel_pos_w, hw, head_dim,
                        scale):
         """v2 global flash dispatch: rel tables projected straight from the
-        packed q slice; rel_h emitted transposed (sublane-sliceable per
-        k-tile in the kernel), rel_w lane-packed."""
-        from ..ops.flash_attention_v2 import _pad8, flash_attention_packed
+        packed q slice, both lane-packed (token-major) — the layout the
+        fused-bias kernel consumes, and the cheapest einsum output order
+        (no transposed/padded rhT tensor exists anymore)."""
+        from ..ops.flash_attention_v2 import flash_attention_packed
 
         h, w = hw
         b = qkv.shape[0]
@@ -216,13 +217,11 @@ class RelPosAttention(nn.Module):
         rw_sel = rel_pos_ops.select_rel_pos(
             rel_pos_w.astype(self.dtype), w, w)            # (w, kw, d)
         q5 = qkv[:, :, :self.dim].reshape(b, h, w, self.num_heads, head_dim)
-        rhT = jnp.einsum("brced,rkd->bekrc", q5, rh_sel
-                         ).reshape(b, self.num_heads, h, n)
-        rhT = jnp.pad(rhT, ((0, 0), (0, 0), (0, _pad8(h) - h), (0, 0))
-                      ).reshape(b, self.num_heads * _pad8(h), n)
+        rh = jnp.einsum("brced,rkd->brcek", q5, rh_sel
+                        ).reshape(b, n, self.num_heads * h)
         rw = jnp.einsum("brced,ckd->brcek", q5, rw_sel
                         ).reshape(b, n, self.num_heads * w)
-        return flash_attention_packed(qkv, rhT, rw, scale, self.num_heads,
+        return flash_attention_packed(qkv, rh, rw, scale, self.num_heads,
                                       hw)
 
 

@@ -7,22 +7,15 @@ the qkv GEMM output for each of the 4 global layers (~1.9 ms/layer at
 B=16). Here the kernel consumes the GEMM output directly:
 
     qkv: (B, N, 3C)      —  [q_h0..q_hH | k_h0.. | v_h0..]
-    rhT: (B, H*GH, N)    —  rel_h transposed; head h in sublane rows
-                            [GH*h, GH*h+gh) so the per-k-tile row slice is
-                            a dynamic *sublane* slice (8-granular), which
-                            lane slices cannot be.
-    rw:  (B, N, H*gw)    —  rel_w lane-packed per head (static offsets).
+    rh:  (B, N, H*gh)    —  rel_h lane-packed per head (static offsets).
+    rw:  (B, N, H*gw)    —  rel_w lane-packed per head.
     out: (B, N, C), lse: (B, N, H)
 
-Grid is (B, N/bq, N/bk) with the key dimension innermost; the online
-softmax state (m, l, acc for all heads) lives in VMEM scratch that persists
-across the k-steps of one (b, q-block). Per k-step the kernel loops the
-heads, slicing 64-wide q/k/v lanes in VMEM — no XLA-side head split exists
-in the forward pass.
-
-The decomposed rel-pos bias per (head, k-tile) uses the same recipe as v1
-(flash_attention.py:62-85): the kh part contracts rows = bk/gw (<= 8) via a
-tiny expansion matmul, the kw part tiles with pltpu.repeat.
+Grid is (B, N/bq); K/V stay VMEM-resident per batch element and each head
+computes full-width scores with a single-pass softmax. The decomposed
+rel-pos bias is folded into the QK matmul via augmented operands
+(see _fwd_kernel) — the kernel has exactly two matmuls and one softmax per
+head, and no XLA-side head split exists in the forward pass.
 
 Backward: custom VJP that unpacks to the per-head layout and reuses the v1
 flash backward kernel (the transposes return in the bwd pass only — the
@@ -43,8 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BQ = 512
-DEFAULT_BK = 512
-VMEM_LIMIT = 48 * 1024 * 1024
+VMEM_LIMIT = 64 * 1024 * 1024
 
 _NEG_INF = -1e30
 
@@ -63,60 +55,59 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, rhT_ref, rw_ref, o_ref, lse_ref,
-                *, scale: float, num_heads: int, grid_hw: Tuple[int, int],
-                bk: int):
-    """One (batch, q-block) per grid step; packed K/V stay resident in VMEM
-    and the key dimension runs as an in-kernel fori_loop per head with the
-    online-softmax state in registers. (A first cut gridded the key dim and
-    carried m/l/acc in VMEM scratch — the per-head scratch read-modify-write
-    serialized the MXU and ran 2.2x slower than this form.)"""
+def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
+                *, scale: float, num_heads: int, grid_hw: Tuple[int, int]):
+    """One (batch, q-block) per grid step; packed K/V stay resident in VMEM.
+
+    K/V being fully resident makes flash-style key streaming pointless: the
+    (bq, N) score row fits VMEM (<= 4 MB f32 by _block_sizes), so each head
+    runs a single-pass softmax over full-width scores. This replaced an
+    online-softmax fori_loop over k-tiles — the repeated alpha-rescale
+    passes over (bq, bk) f32 tiles were pure VPU overhead (and an earlier
+    k-gridded variant with VMEM scratch was 2.2x slower still).
+
+    The decomposed rel-pos bias is *fused into the QK matmul*: with
+    q_aug = [q*scale | rel_h | rel_w] and k_aug = [k | E^T | T^T]
+    (E[j,r] = [j//gw == r], T[j,c] = [j%gw == c]),
+    q_aug @ k_aug^T = scale*qk^T + rel_h-spread + rel_w-spread in one
+    K=(d+gh+gw) matmul — no separate bias matmul, repeat, or (bq, n) add
+    passes, and K >= 128 uses the MXU contraction lanes better than the
+    bare K=d=64 QK pass did."""
     gh, gw = grid_hw
-    gh_pad = _pad8(gh)
     n = k_ref.shape[1]
     c = q_ref.shape[-1]
     d = c // num_heads
-    bq = q_ref.shape[1]
-    rows = bk // gw
     in_dt = q_ref.dtype
 
-    # local expansion matrix: e[r, j] = [j // gw == r] for one k tile's rows
-    je = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
-    re = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0)
-    e_small = (je // gw == re).astype(jnp.float32)
+    # transposed expansion matrices (shared across heads)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (n, gh), 0)
+    re = jax.lax.broadcasted_iota(jnp.int32, (n, gh), 1)
+    e_t = (jr // gw == re).astype(in_dt)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (n, gw), 0)
+    ce = jax.lax.broadcasted_iota(jnp.int32, (n, gw), 1)
+    t_t = (jc % gw == ce).astype(in_dt)
 
     outs, lses = [], []
     for h in range(num_heads):
         q_h = q_ref[0, :, d * h:d * (h + 1)]
-        rw_h = rw_ref[0, :, gw * h:gw * (h + 1)].astype(jnp.float32)
+        k_h = k_ref[0, :, d * h:d * (h + 1)]
+        v_h = v_ref[0, :, d * h:d * (h + 1)]
+        rh_h = rh_ref[0, :, gh * h:gh * (h + 1)]
+        rw_h = rw_ref[0, :, gw * h:gw * (h + 1)]
+        q_aug = jnp.concatenate(
+            [(q_h.astype(jnp.float32) * scale).astype(in_dt), rh_h, rw_h],
+            axis=-1)
+        k_aug = jnp.concatenate([k_h, e_t, t_t], axis=-1)
+        s = jax.lax.dot_general(
+            q_aug, k_aug, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (bq, n)
 
-        def body(i, carry, h=h, q_h=q_h, rw_h=rw_h):
-            m, l, acc = carry
-            k0 = i * bk
-            k_blk = k_ref[0, pl.ds(k0, bk), d * h:d * (h + 1)]
-            v_blk = v_ref[0, pl.ds(k0, bk), d * h:d * (h + 1)]
-            s = jax.lax.dot_general(
-                q_h, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale      # (bq, bk)
-            r0 = pl.multiple_of(gh_pad * h + i * rows, rows)
-            rh_slice = rhT_ref[0, pl.ds(r0, rows), :].astype(jnp.float32)
-            s = s + jax.lax.dot_general(
-                rh_slice, e_small, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s + pltpu.repeat(rw_h, rows, axis=1)
-
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(
-                p.astype(in_dt), v_blk, preferred_element_type=jnp.float32)
-            return m_new, l, acc
-
-        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
-        a0 = jnp.zeros((bq, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n // bk, body, (m0, l0, a0))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(in_dt), v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         outs.append((acc / l).astype(o_ref.dtype))
         lses.append(m + jnp.log(l))
     o_ref[0] = jnp.concatenate(outs, axis=-1)
@@ -124,41 +115,33 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rhT_ref, rw_ref, o_ref, lse_ref,
 
 
 def pack_rel_global(rel_h, rel_w, num_heads: int, grid_hw: Tuple[int, int]):
-    """Per-head (B, H, N, gh/gw) tables -> (rhT (B, H*GH, N), rw (B, N, H*gw))."""
+    """Per-head (B, H, N, gh/gw) tables -> lane-packed
+    (rh (B, N, H*gh), rw (B, N, H*gw)); head h sits in lanes
+    [gh*h, gh*(h+1)) — a static lane slice in the kernel."""
     gh, gw = grid_hw
     b, _, n, _ = rel_h.shape
-    gh_pad = _pad8(gh)
-    rhT = jnp.pad(rel_h, ((0, 0), (0, 0), (0, 0), (0, gh_pad - gh)))
-    rhT = rhT.transpose(0, 1, 3, 2).reshape(b, num_heads * gh_pad, n)
+    rh = rel_h.transpose(0, 2, 1, 3).reshape(b, n, num_heads * gh)
     rw = rel_w.transpose(0, 2, 1, 3).reshape(b, n, num_heads * gw)
-    return rhT, rw
+    return rh, rw
 
 
 def _block_sizes(n: int, gh: int, gw: int) -> Tuple[int, int]:
-    # bq: the largest 64-aligned divisor of n up to 1.25*DEFAULT_BQ. Plain
-    # halving collapses to 256 on the 48-grid (2304 tokens) and halves MXU
-    # efficiency; 2304 -> 576, 4096 -> 512.
-    # bq is also the lane dim of the transposed rel_h block, so it must be a
-    # multiple of 128. Plain halving collapses to 256 on the 48-grid (2304
-    # tokens) and halves MXU efficiency; 2304 -> 768, 4096 -> 512.
+    # bq: the largest 128-multiple divisor of n (lane dim of the transposed
+    # rel_h block must be 128-aligned) whose full-width f32 score tile
+    # (bq, n) stays <= 4 MB — the per-head score/prob buffers are what the
+    # Mosaic stack allocator multiplies across the unrolled head loop, and
+    # larger tiles blew the scoped-VMEM budget at ViT-B shapes
+    # (2304 -> 384, 4096 -> 256).
+    budget = 4 * 1024 * 1024
     bq = None
-    for cand in range(128, int(DEFAULT_BQ * 1.5) + 1, 128):
-        if n % cand == 0:
+    for cand in range(128, n + 1, 128):
+        if n % cand == 0 and cand * n * 4 <= budget:
             bq = cand
     if bq is None:  # tiny/odd n (tests): largest power-of-two divisor
         bq = min(DEFAULT_BQ, n)
         while n % bq:
             bq //= 2
-    # Each k-tile must cover whole grid rows (bk = rows*gw) so the per-tile
-    # rel_h sublane slice + expansion matmul line up: rows is the largest
-    # divisor of gh with rows*gw <= 1.5*DEFAULT_BK and rows a multiple of 8
-    # (sublane-granular rhT slices). 64-grid -> 8*64=512, 48-grid -> 16*48=768.
-    step = 8 if gh % 8 == 0 else 1
-    best = step
-    for cand in range(step, gh + 1, step):
-        if gh % cand == 0 and cand * gw <= int(DEFAULT_BK * 1.5):
-            best = cand
-    return bq, best * gw
+    return bq, gw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -169,17 +152,15 @@ def flash_attention_packed(qkv, rhT, rw, scale: float, num_heads: int,
     return _v2g_fwd(qkv, rhT, rw, scale, num_heads, grid_hw)[0]
 
 
-def _v2g_fwd(qkv, rhT, rw, scale, num_heads, grid_hw):
+def _v2g_fwd(qkv, rh, rw, scale, num_heads, grid_hw):
     gh, gw = grid_hw
     b, n, c3 = qkv.shape
     c = c3 // 3
-    d = c // num_heads
-    gh_pad = _pad8(gh)
-    bq, bk = _block_sizes(n, gh, gw)
-    assert bk % gw == 0 and n % bk == 0, (bk, gw, n)
+    bq, _ = _block_sizes(n, gh, gw)
+    assert n % gw == 0, (n, gw)
 
     kernel = functools.partial(_fwd_kernel, scale=scale,
-                               num_heads=num_heads, grid_hw=grid_hw, bk=bk)
+                               num_heads=num_heads, grid_hw=grid_hw)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, n // bq),
@@ -187,8 +168,8 @@ def _v2g_fwd(qkv, rhT, rw, scale, num_heads, grid_hw):
             pl.BlockSpec((1, bq, c), lambda b_, qi: (b_, qi, 0)),
             pl.BlockSpec((1, n, c), lambda b_, qi: (b_, 0, 1)),   # K resident
             pl.BlockSpec((1, n, c), lambda b_, qi: (b_, 0, 2)),   # V resident
-            pl.BlockSpec((1, num_heads * gh_pad, bq),
-                         lambda b_, qi: (b_, 0, qi)),
+            pl.BlockSpec((1, bq, num_heads * gh),
+                         lambda b_, qi: (b_, qi, 0)),
             pl.BlockSpec((1, bq, num_heads * gw),
                          lambda b_, qi: (b_, qi, 0)),
         ],
@@ -202,12 +183,12 @@ def _v2g_fwd(qkv, rhT, rw, scale, num_heads, grid_hw):
         ],
         compiler_params=_compiler_params(),
         interpret=_use_interpret(),
-    )(qkv, qkv, qkv, rhT, rw)  # q/k/v specs slice lane-blocks of one array
-    return out, (qkv, rhT, rw, out, lse)
+    )(qkv, qkv, qkv, rh, rw)  # q/k/v specs slice lane-blocks of one array
+    return out, (qkv, rh, rw, out, lse)
 
 
-def _v2g_fwd_vjp(qkv, rhT, rw, scale, num_heads, grid_hw):
-    return _v2g_fwd(qkv, rhT, rw, scale, num_heads, grid_hw)
+def _v2g_fwd_vjp(qkv, rh, rw, scale, num_heads, grid_hw):
+    return _v2g_fwd(qkv, rh, rw, scale, num_heads, grid_hw)
 
 
 def _v2g_bwd(scale, num_heads, grid_hw, res, dout):
@@ -215,22 +196,24 @@ def _v2g_bwd(scale, num_heads, grid_hw, res, dout):
     (transposes exist here only — the fwd/inference path never pays them)."""
     from .flash_attention import _flash_bwd
 
-    qkv, rhT, rw, out, lse = res
+    qkv, rh, rw, out, lse = res
     gh, gw = grid_hw
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    gh_pad = _pad8(gh)
 
     def split_heads(x):                       # (B, N, C) -> (BH, N, d)
         return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3).reshape(
             b * num_heads, n, d)
 
+    def split_rel(r, width):                  # (B, N, H*w) -> (BH, N, w)
+        return r.reshape(b, n, num_heads, width).transpose(0, 2, 1, 3
+                                                           ).reshape(
+            b * num_heads, n, width)
+
     q, k, v = (split_heads(qkv[:, :, i * c:(i + 1) * c]) for i in range(3))
-    rel_h = rhT.reshape(b, num_heads, gh_pad, n)[:, :, :gh]
-    rel_h = rel_h.transpose(0, 1, 3, 2).reshape(b * num_heads, n, gh)
-    rel_w = rw.reshape(b, n, num_heads, gw).transpose(0, 2, 1, 3).reshape(
-        b * num_heads, n, gw)
+    rel_h = split_rel(rh, gh)
+    rel_w = split_rel(rw, gw)
     out_h = split_heads(out)
     do_h = split_heads(dout)
     lse_h = lse.transpose(0, 2, 1).reshape(b * num_heads, n, 1)
@@ -243,15 +226,16 @@ def _v2g_bwd(scale, num_heads, grid_hw, res, dout):
         return x.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(
             b, n, c)
 
+    def merge_rel(r, width):
+        return r.reshape(b, num_heads, n, width).transpose(0, 2, 1, 3
+                                                           ).reshape(
+            b, n, num_heads * width)
+
     dqkv = jnp.concatenate(
         [merge_heads(g.astype(qkv.dtype)) for g in (dq, dk, dv)], axis=-1)
-    drh = drh.reshape(b, num_heads, n, gh)
-    drhT = jnp.pad(drh, ((0, 0), (0, 0), (0, 0), (0, gh_pad - gh)))
-    drhT = drhT.transpose(0, 1, 3, 2).reshape(
-        b, num_heads * gh_pad, n).astype(rhT.dtype)
-    drw = drw.reshape(b, num_heads, n, gw).transpose(0, 2, 1, 3).reshape(
-        b, n, num_heads * gw).astype(rw.dtype)
-    return dqkv, drhT, drw
+    drh_p = merge_rel(drh.astype(rh.dtype), gh)
+    drw_p = merge_rel(drw.astype(rw.dtype), gw)
+    return dqkv, drh_p, drw_p
 
 
 flash_attention_packed.defvjp(_v2g_fwd_vjp, _v2g_bwd)

@@ -115,7 +115,11 @@ def hfc_filter(images: jnp.ndarray, rate: float = 0.125,
         rh, ih, rw, iw = map(jnp.asarray, _lowpass_matrices(h, w, rate))
 
         def mm(a, b):
-            return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+            # HIGH (3-pass bf16) not HIGHEST (6-pass): `inv = gray - low`
+            # cancels, so single-pass bf16 is unsafe, but 3 passes keep the
+            # error ~2^-25 * |gray| — far below the bf16 pipeline noise the
+            # result is cast into. Measured 4.4 -> ~2.2 ms/step at B=16.
+            return jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
 
         # Re(A_h X A_w^T) with X real: Rh X Rw^T - Ih X Iw^T, staged as
         # (N,N)@(B,N,N) row transforms then @(N,N) column transforms.
