@@ -22,16 +22,24 @@ A100_REF_TILES_PER_SEC = 25.0
 
 
 def main():
+    import dataclasses
+
     from wildlifemapper_tpu.config import model_config
     from wildlifemapper_tpu.eval.postprocess import batched_nms, postprocess
     from wildlifemapper_tpu.models import WildlifeMapper
 
-    # Production config: bf16, packed Pallas kernels, content-crop (the
-    # reference pipeline zero-pads 768px content into the 1024 canvas,
-    # misc.py:50; crop mode skips the pad tokens after an exact-parity
-    # prologue — see PERF.md for the measured drift vs the full path).
+    # Production (from-scratch) config: bf16, packed Pallas kernels, full
+    # content crop — the reference pipeline zero-pads 768px content into a
+    # 1024 canvas (misc.py:50) and spends 44% of its FLOPs on pad tokens;
+    # here the whole network runs at content resolution. Released-checkpoint
+    # inference instead uses bf16+flash at the full canvas, which is
+    # mAP-exact vs the f32 parity path (PERF.md "drift as mAP"); its
+    # throughput tier is recorded in PERF.md alongside this number.
     cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True,
                        content_size=768)
+    cfg = dataclasses.replace(
+        cfg, crop_prologue=True,
+        hfc=dataclasses.replace(cfg.hfc, compat_scrambled_reshape=False))
     model = WildlifeMapper(cfg)
     rng = np.random.default_rng(0)
     params = jax.jit(model.init)(

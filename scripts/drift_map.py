@@ -95,6 +95,10 @@ def main():
     cfg32 = model_config("vit_b", dtype="float32")
     cfg16 = model_config("vit_b", dtype="bfloat16", use_flash_attention=True)
     cfg_crop = dataclasses.replace(cfg16, content_size=768)
+    cfg_cp = dataclasses.replace(
+        cfg_crop, crop_prologue=True,
+        hfc=dataclasses.replace(cfg_crop.hfc,
+                                compat_scrambled_reshape=False))
 
     m32 = WildlifeMapper(cfg32)
     params = jax.jit(m32.init)(jax.random.PRNGKey(0),
@@ -104,7 +108,7 @@ def main():
     n_gt = int((gt["scores"] > 0.3).sum())
     print(f"pseudo-GT detections: {n_gt}", flush=True)
     for tag, cfg in (("f32-self ", cfg32), ("bf16+flash", cfg16),
-                     ("bf16+crop ", cfg_crop)):
+                     ("bf16+crop ", cfg_crop), ("bf16+crop_prologue", cfg_cp)):
         dets = run(cfg, params, tiles)
         ap, ap50 = map_vs(gt, dets)
         print(f"{tag}: AP={ap:.4f} AP50={ap50:.4f}", flush=True)

@@ -69,6 +69,52 @@ def test_crop_close_to_full_on_padded_input():
     assert d_log < 1.5, d_log
 
 
+def test_crop_prologue_mode():
+    """From-scratch mode: the whole prologue runs at content resolution.
+    Param tree must stay byte-identical (pos embeds sliced, not resized),
+    gradients must flow, and passing already-cropped pixels must give
+    bit-identical results to passing the padded canvas."""
+    import pytest
+
+    from wildlifemapper_tpu.config import HFCConfig
+
+    cfg = tiny_config()
+    hfc_ns = dataclasses.replace(cfg.hfc, compat_scrambled_reshape=False)
+    cfg_cp = dataclasses.replace(cfg, content_size=48, hfc=hfc_ns,
+                                 crop_prologue=True)
+    # validation: scrambled reshape forbids crop_prologue
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, content_size=48, crop_prologue=True)
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, hfc=hfc_ns, crop_prologue=True)
+
+    x = _zero_padded_input(np.random.default_rng(3), 2, 64, 48)
+    m_full = WildlifeMapper(tiny_config())
+    m_cp = WildlifeMapper(cfg_cp)
+    params = m_full.init(jax.random.PRNGKey(0), x)
+    shapes = jax.tree.map(lambda a: a.shape, params)
+    shapes_cp = jax.tree.map(
+        lambda a: a.shape, jax.eval_shape(m_cp.init, jax.random.PRNGKey(0), x))
+    assert shapes == shapes_cp
+
+    out = m_cp.apply(params, x)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    # padded canvas vs pre-cropped pixels: identical (the crop is the
+    # first op, so the pad band never participates)
+    out2 = m_cp.apply(params, x[:, :48, :48, :])
+    np.testing.assert_array_equal(np.asarray(out["pred_boxes"]),
+                                  np.asarray(out2["pred_boxes"]))
+
+    def loss(p):
+        o = m_cp.apply(p, x)
+        return jnp.sum(o["pred_boxes"]) + jnp.sum(o["pred_logits"])
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(v)))
+                for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_crop_with_flash_kernels_interpret_mode():
     # Exercise the packed kernel dispatch on the cropped grid (interpret
     # mode on CPU); windowed blocks see a 3x3 grid padded to the 4-window.

@@ -68,6 +68,14 @@ def add_config_args(p: argparse.ArgumentParser):
                    help="content-crop fast path: run the ViT blocks on the "
                         "content grid only (e.g. 768 for the standard "
                         "768-in-1024 canvas); None = reference behavior")
+    p.add_argument("--crop_prologue", action="store_true",
+                   help="from-scratch mode: HFC/patch-embeds/adaptor also "
+                        "run at content_size (implies "
+                        "--fix_scrambled_reshape; requires --content_size)")
+    p.add_argument("--fix_scrambled_reshape", action="store_true",
+                   help="fix the reference's no-transpose adaptor reshape "
+                        "(image_encoder.py:512); breaks released-checkpoint "
+                        "compatibility, use when training from scratch")
     # eval
     p.add_argument("--confidence_threshold", type=float, default=0.05)
     p.add_argument("--fix_hw_swap", action="store_true",
@@ -89,11 +97,16 @@ def config_from_args(args) -> Config:
         args.model_type,
         dtype="bfloat16" if args.use_amp else "float32",
         use_flash_attention=not args.no_flash_attention)
+    fix_scramble = (getattr(args, "fix_scrambled_reshape", False)
+                    or getattr(args, "crop_prologue", False))
     model = dataclasses.replace(
         model,
         img_size=args.canvas_size,
         content_size=getattr(args, "content_size", None),
-        hfc=dataclasses.replace(model.hfc, rate=args.hfc_rate),
+        crop_prologue=getattr(args, "crop_prologue", False),
+        hfc=dataclasses.replace(
+            model.hfc, rate=args.hfc_rate,
+            compat_scrambled_reshape=not fix_scramble),
         decoder=dataclasses.replace(model.decoder,
                                     num_queries=args.num_queries))
     return Config(

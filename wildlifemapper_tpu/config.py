@@ -57,6 +57,12 @@ class HFCConfig:
     num_heads: int = 8
     ffn_dim: int = 1024
     dropout: float = 0.1
+    # The reference reinterprets the (B, HW, F) adaptor output as
+    # (B, F, H, W) without a transpose before proj_back
+    # (image_encoder.py:512), scrambling tokens across channels; released
+    # checkpoints were trained through it. False = the token-preserving
+    # projection for from-scratch training.
+    compat_scrambled_reshape: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +117,26 @@ class ModelConfig:
     # center-sliced (same patch resolution => same relative-distance
     # embeddings). None = full-canvas reference behavior.
     content_size: Optional[int] = None
+    # Crop the *pixels* before the prologue too: HFC, patch embeds, and the
+    # adaptor all run at content_size (e.g. 768^2 -> 48x48 tokens) instead
+    # of the zero-padded canvas. Only valid with content_size set and
+    # hfc.compat_scrambled_reshape=False — the scrambled reshape mixes
+    # tokens across the full 64-grid, so checkpoint-compatible runs need
+    # the full-canvas prologue. This is the from-scratch training
+    # configuration: train and eval see the same (cheaper) function.
+    crop_prologue: bool = False
+
+    def __post_init__(self):
+        if self.crop_prologue:
+            if self.content_size is None:
+                raise ValueError("crop_prologue requires content_size")
+            if self.hfc.compat_scrambled_reshape:
+                raise ValueError(
+                    "crop_prologue requires "
+                    "hfc.compat_scrambled_reshape=False: the scrambled "
+                    "reshape (image_encoder.py:512) mixes tokens across the "
+                    "full 64-grid, so the checkpoint-compatible prologue "
+                    "must run at the full canvas")
 
     @property
     def grid_size(self) -> int:

@@ -107,13 +107,14 @@ class CrossAttentionHfcPatch(nn.Module):
 
         # Learned positional embedding, added to the projected HFC stream only
         # (image_encoder.py:484,494). Stored NHWC; the torch checkpoint's
-        # (1, C, 64, 64) layout is transposed by the converter.
+        # (1, C, 64, 64) layout is transposed by the converter. Sliced
+        # top-left when the input grid is content-cropped (crop_prologue).
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, self.grid_size, self.grid_size, self.proj_dim),
                          jnp.float32)
 
         hfc = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj_hfc")(hfc_embed)
-        hfc = hfc + pos.astype(self.dtype)
+        hfc = hfc + pos[:, :g, :g].astype(self.dtype)
         patch = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj_patch")(patch_embed)
 
         hfc = hfc.reshape(b, g * g, self.proj_dim)

@@ -32,6 +32,12 @@ class WildlifeMapper(nn.Module):
         cfg = self.config
         dtype = cfg.compute_dtype
 
+        if cfg.crop_prologue and cfg.content_size is not None:
+            # From-scratch mode: the whole network (HFC filter included)
+            # runs on the content pixels; the zero-pad canvas never exists
+            # on device. See ModelConfig.crop_prologue.
+            images = images[:, :cfg.content_size, :cfg.content_size, :]
+
         # HFC runs in f32 (FFT precision), result cast to the compute dtype.
         hfc = hfc_filter(images.astype(jnp.float32), cfg.hfc.rate).astype(dtype)
         images = images.astype(dtype)
@@ -48,6 +54,7 @@ class WildlifeMapper(nn.Module):
             hfc_ffn_dim=cfg.hfc.ffn_dim, hfc_proj_dim=cfg.hfc.proj_dim,
             hfc_dropout=cfg.hfc.dropout, use_flash=cfg.use_flash_attention,
             attn_impl=cfg.attn_impl, content_grid=cfg.content_grid,
+            hfc_scrambled_reshape=cfg.hfc.compat_scrambled_reshape,
             dtype=dtype, name="image_encoder")(
                 images, hfc, deterministic=deterministic)
 

@@ -317,21 +317,25 @@ class ImageEncoderViT(nn.Module):
     attn_impl: str = "packed"
     # Content-crop (see ModelConfig.content_size): run the prologue at the
     # full canvas grid, then crop the token grid top-left to content_grid
-    # for the transformer blocks + neck. None = full grid.
+    # for the transformer blocks + neck. None = full grid. When the *input*
+    # is already content-cropped (ModelConfig.crop_prologue), the prologue
+    # itself runs at the input grid and this crop is a no-op.
     content_grid: Optional[int] = None
+    hfc_scrambled_reshape: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_hfc, *, deterministic: bool = True):
         from .adaptor import CrossAttentionHfcPatch
 
-        grid = self.img_size // self.patch_size
+        grid = self.img_size // self.patch_size   # checkpoint/param grid
+        in_grid = x.shape[1] // self.patch_size   # actual input grid
         x = PatchEmbed(embed_dim=self.embed_dim, patch_size=self.patch_size,
                        dtype=self.dtype, name="patch_embed")(x)
         if self.use_abs_pos:
             pos = self.param("pos_embed", nn.initializers.zeros,
                              (1, grid, grid, self.embed_dim), jnp.float32)
-            x = x + pos.astype(self.dtype)
+            x = x + pos[:, :in_grid, :in_grid].astype(self.dtype)
 
         hfc_emb = PatchEmbed(embed_dim=self.hfc_embed_dim,
                              patch_size=self.patch_size,
@@ -341,12 +345,13 @@ class ImageEncoderViT(nn.Module):
             num_heads=self.hfc_num_heads, ffn_dim=self.hfc_ffn_dim,
             dropout=self.hfc_dropout, grid_size=grid,
             use_flash=self.use_flash,
+            compat_scrambled_reshape=self.hfc_scrambled_reshape,
             dtype=self.dtype, name="hfc_attn")(
                 hfc_emb, x, deterministic=deterministic)
         x = adaptor_out + x
 
-        run_grid = grid
-        if self.content_grid is not None and self.content_grid < grid:
+        run_grid = in_grid
+        if (self.content_grid is not None and self.content_grid < in_grid):
             # Pad tokens beyond the content are bias-only (the collate canvas
             # is zero there, misc.py:50); drop them before the O(N^2) blocks.
             run_grid = self.content_grid
