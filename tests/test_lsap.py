@@ -90,3 +90,45 @@ def test_nonfinite_sanitization_matches_scipy_on_clean_entries():
     np.testing.assert_allclose(sanitized[rows, cols].sum(),
                                sanitized[np.arange(6), ours].sum(),
                                rtol=1e-5)
+
+
+def test_bounded_transposed_matching_equals_scipy_rectangular():
+    """The criterion's fast path (transposed square + row loop bounded by
+    the last valid index) must reproduce scipy's rectangular optimum —
+    including non-prefix valid masks and the T_valid > Q regime."""
+    from scipy.optimize import linear_sum_assignment
+
+    from wildlifemapper_tpu.ops.lsap import matching_cost_pad
+
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        q = int(rng.integers(2, 7))
+        t = int(rng.integers(2, 12))
+        b = 3
+        cost = rng.normal(size=(b, q, t)).astype(np.float32)
+        valid = rng.random((b, t)) < 0.6            # non-prefix holes
+        if trial == 0:
+            valid[:] = False                        # no targets at all
+        square = np.asarray(matching_cost_pad(
+            jnp.asarray(cost), jnp.asarray(valid))).transpose(0, 2, 1)
+        last_valid = int(np.max(np.where(valid, np.arange(t)[None] + 1, 0)))
+        t2q = np.asarray(solve_lsap(jnp.asarray(square),
+                                    jnp.int32(last_valid)))
+        s = square.shape[1]
+        for bi in range(b):
+            vidx = np.where(valid[bi])[0]
+            if len(vidx) == 0:
+                continue
+            rect = cost[bi][:, vidx]                # (Q, T_valid)
+            rows, cols = linear_sum_assignment(rect)
+            want = rect[rows, cols].sum()
+            got = 0.0
+            n_real = 0
+            for k, tgt in enumerate(vidx):
+                col = t2q[bi, tgt]
+                if col < q:
+                    got += rect[col, k]
+                    n_real += 1
+            assert n_real == len(rows), (trial, bi, n_real, len(rows))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"trial {trial} b={bi}")
