@@ -17,9 +17,11 @@ rel-pos bias is folded into the QK matmul via augmented operands
 (see _fwd_kernel) — the kernel has exactly two matmuls and one softmax per
 head, and no XLA-side head split exists in the forward pass.
 
-Backward: custom VJP that unpacks to the per-head layout and reuses the v1
-flash backward kernel (the transposes return in the bwd pass only — the
-inference path never pays them; TODO: packed bwd).
+Backward: packed two-kernel split in the same layouts (no head transposes
+in either direction): one kernel grids q-blocks and emits dq/drh/drw, the
+other grids k-blocks and emits dk/dv; both recompute scores with the same
+fused-bias matmul and reuse the forward lse (no max pass). delta =
+rowsum(do * o) per head is precomputed once in XLA.
 
 Reference parity: image_encoder.py:207-262 + 347-383 (global attention with
 decomposed rel-pos), numerics equal to the jnp oracle.
@@ -55,6 +57,19 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _exp_mats_t(rows: int, gh: int, gw: int, dtype, k0=0):
+    """Transposed expansion matrices for keys [k0, k0+rows):
+    e_t[j, r] = [(k0+j)//gw == r] (rows, gh), t_t[j, c] = [(k0+j)%gw == c]
+    (rows, gw). Appended to k so the rel-pos bias rides the QK matmul."""
+    jr = jax.lax.broadcasted_iota(jnp.int32, (rows, gh), 0) + k0
+    re = jax.lax.broadcasted_iota(jnp.int32, (rows, gh), 1)
+    e_t = (jr // gw == re).astype(dtype)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (rows, gw), 0) + k0
+    ce = jax.lax.broadcasted_iota(jnp.int32, (rows, gw), 1)
+    t_t = (jc % gw == ce).astype(dtype)
+    return e_t, t_t
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
                 *, scale: float, num_heads: int, grid_hw: Tuple[int, int]):
     """One (batch, q-block) per grid step; packed K/V stay resident in VMEM.
@@ -79,13 +94,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
     d = c // num_heads
     in_dt = q_ref.dtype
 
-    # transposed expansion matrices (shared across heads)
-    jr = jax.lax.broadcasted_iota(jnp.int32, (n, gh), 0)
-    re = jax.lax.broadcasted_iota(jnp.int32, (n, gh), 1)
-    e_t = (jr // gw == re).astype(in_dt)
-    jc = jax.lax.broadcasted_iota(jnp.int32, (n, gw), 0)
-    ce = jax.lax.broadcasted_iota(jnp.int32, (n, gw), 1)
-    t_t = (jc % gw == ce).astype(in_dt)
+    e_t, t_t = _exp_mats_t(n, gh, gw, in_dt)
 
     outs, lses = [], []
     for h in range(num_heads):
@@ -191,51 +200,187 @@ def _v2g_fwd_vjp(qkv, rh, rw, scale, num_heads, grid_hw):
     return _v2g_fwd(qkv, rh, rw, scale, num_heads, grid_hw)
 
 
-def _v2g_bwd(scale, num_heads, grid_hw, res, dout):
-    """Unpack to the per-head layout and reuse the v1 flash backward kernel
-    (transposes exist here only — the fwd/inference path never pays them)."""
-    from .flash_attention import _flash_bwd
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, lse_ref, delta_ref,
+                   do_ref, dq_ref, drh_ref, drw_ref,
+                   *, scale: float, num_heads: int,
+                   grid_hw: Tuple[int, int]):
+    """dq/drh/drw for one (batch, q-block): recompute scores with the same
+    fused-bias matmul as the forward, p from the saved lse (no max pass)."""
+    gh, gw = grid_hw
+    n = k_ref.shape[1]
+    c = do_ref.shape[-1]
+    d = c // num_heads
+    in_dt = q_ref.dtype
+    e_t, t_t = _exp_mats_t(n, gh, gw, in_dt)
 
+    dqs, drhs, drws = [], [], []
+    for h in range(num_heads):
+        q_h = q_ref[0, :, d * h:d * (h + 1)]
+        k_h = k_ref[0, :, d * h:d * (h + 1)]
+        v_h = v_ref[0, :, d * h:d * (h + 1)]
+        rh_h = rh_ref[0, :, gh * h:gh * (h + 1)]
+        rw_h = rw_ref[0, :, gw * h:gw * (h + 1)]
+        do_h = do_ref[0, :, d * h:d * (h + 1)]
+        q_aug = jnp.concatenate(
+            [(q_h.astype(jnp.float32) * scale).astype(in_dt), rh_h, rw_h],
+            axis=-1)
+        k_aug = jnp.concatenate([k_h, e_t, t_t], axis=-1)
+        s = jax.lax.dot_general(
+            q_aug, k_aug, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (bq, n)
+        p = jnp.exp(s - lse_ref[0, :, h:h + 1])
+        dp = jax.lax.dot_general(
+            do_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (bq, n)
+        ds = (p * (dp - delta_ref[0, :, h:h + 1])).astype(in_dt)
+        dqs.append((jax.lax.dot_general(
+            ds, k_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype))
+        drhs.append(jax.lax.dot_general(
+            ds, e_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drh_ref.dtype))
+        drws.append(jax.lax.dot_general(
+            ds, t_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drw_ref.dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+    drh_ref[0] = jnp.concatenate(drhs, axis=-1)
+    drw_ref[0] = jnp.concatenate(drws, axis=-1)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, lse_t_ref,
+                    delta_t_ref, do_ref, dk_ref, dv_ref,
+                    *, scale: float, num_heads: int,
+                    grid_hw: Tuple[int, int], bk: int):
+    """dk/dv for one (batch, k-block): transposed scores against the full
+    resident q_aug; no cross-step accumulation exists by construction.
+    lse/delta arrive pre-transposed as (B, H, N) so the per-head slice is a
+    (1, n) row vector — a sublane slice, not a lane gather."""
+    gh, gw = grid_hw
+    n = q_ref.shape[1]
+    c = do_ref.shape[-1]
+    d = c // num_heads
+    in_dt = q_ref.dtype
+    k0 = pl.program_id(1) * bk
+    e_t, t_t = _exp_mats_t(bk, gh, gw, in_dt, k0=k0)
+
+    dks, dvs = [], []
+    for h in range(num_heads):
+        q_h = q_ref[0, :, d * h:d * (h + 1)]
+        k_h = k_ref[0, :, d * h:d * (h + 1)]
+        v_h = v_ref[0, :, d * h:d * (h + 1)]
+        rh_h = rh_ref[0, :, gh * h:gh * (h + 1)]
+        rw_h = rw_ref[0, :, gw * h:gw * (h + 1)]
+        do_h = do_ref[0, :, d * h:d * (h + 1)]
+        q_aug = jnp.concatenate(
+            [(q_h.astype(jnp.float32) * scale).astype(in_dt), rh_h, rw_h],
+            axis=-1)                                             # (n, aug)
+        k_aug = jnp.concatenate([k_h, e_t, t_t], axis=-1)        # (bk, aug)
+        s_t = jax.lax.dot_general(
+            k_aug, q_aug, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (bk, n)
+        p_t = jnp.exp(s_t - lse_t_ref[0, h:h + 1, :])
+        dp_t = jax.lax.dot_general(
+            v_h, do_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (bk, n)
+        ds_t = (p_t * (dp_t - delta_t_ref[0, h:h + 1, :])).astype(in_dt)
+        dks.append((jax.lax.dot_general(
+            ds_t, q_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype))
+        dvs.append(jax.lax.dot_general(
+            p_t.astype(in_dt), do_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype))
+    dk_ref[0] = jnp.concatenate(dks, axis=-1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+
+
+def _v2g_bwd(scale, num_heads, grid_hw, res, dout):
+    """Packed backward: no XLA-side head split/merge in either direction."""
     qkv, rh, rw, out, lse = res
     gh, gw = grid_hw
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
+    hs_h, hs_w = num_heads * gh, num_heads * gw
+    # Backward holds more residents (do + lse/delta + two output blocks),
+    # so halve the score-tile budget relative to the forward: 64.71M > 64M
+    # at bq=384/B=8 was the measured overflow.
+    bq, _ = _block_sizes(n, gh, gw)
+    if bq > 128 and n * bq * 4 > 2 * 1024 * 1024:
+        bq = max(128, bq // 2)
+        while n % bq:
+            bq //= 2
 
-    def split_heads(x):                       # (B, N, C) -> (BH, N, d)
-        return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3).reshape(
-            b * num_heads, n, d)
+    # delta[b, q, h] = sum_d do_h * o_h — one cheap XLA pass, shared by
+    # both kernels (saves them carrying `out` in VMEM).
+    delta = jnp.sum(dout.reshape(b, n, num_heads, d).astype(jnp.float32)
+                    * out.reshape(b, n, num_heads, d).astype(jnp.float32),
+                    axis=-1)                                     # (B, N, H)
 
-    def split_rel(r, width):                  # (B, N, H*w) -> (BH, N, w)
-        return r.reshape(b, n, num_heads, width).transpose(0, 2, 1, 3
-                                                           ).reshape(
-            b * num_heads, n, width)
+    common_in = [
+        pl.BlockSpec((1, n, c), lambda b_, i: (b_, 0, 0)),       # q resident
+        pl.BlockSpec((1, n, c), lambda b_, i: (b_, 0, 1)),       # k resident
+        pl.BlockSpec((1, n, c), lambda b_, i: (b_, 0, 2)),       # v resident
+        pl.BlockSpec((1, n, hs_h), lambda b_, i: (b_, 0, 0)),
+        pl.BlockSpec((1, n, hs_w), lambda b_, i: (b_, 0, 0)),
+        pl.BlockSpec((1, n, num_heads), lambda b_, i: (b_, 0, 0)),
+        pl.BlockSpec((1, n, num_heads), lambda b_, i: (b_, 0, 0)),
+        pl.BlockSpec((1, n, c), lambda b_, i: (b_, 0, 0)),       # do resident
+    ]
 
-    q, k, v = (split_heads(qkv[:, :, i * c:(i + 1) * c]) for i in range(3))
-    rel_h = split_rel(rh, gh)
-    rel_w = split_rel(rw, gw)
-    out_h = split_heads(out)
-    do_h = split_heads(dout)
-    lse_h = lse.transpose(0, 2, 1).reshape(b * num_heads, n, 1)
+    dq_in = list(common_in)
+    dq_in[0] = pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0))
+    dq_in[3] = pl.BlockSpec((1, bq, hs_h), lambda b_, i: (b_, i, 0))
+    dq_in[4] = pl.BlockSpec((1, bq, hs_w), lambda b_, i: (b_, i, 0))
+    dq_in[5] = pl.BlockSpec((1, bq, num_heads), lambda b_, i: (b_, i, 0))
+    dq_in[6] = pl.BlockSpec((1, bq, num_heads), lambda b_, i: (b_, i, 0))
+    dq_in[7] = pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0))
+    dq, drh, drw = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, num_heads=num_heads,
+                          grid_hw=grid_hw),
+        grid=(b, n // bq),
+        in_specs=dq_in,
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, bq, hs_h), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, bq, hs_w), lambda b_, i: (b_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, hs_h), rh.dtype),
+            jax.ShapeDtypeStruct((b, n, hs_w), rw.dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_use_interpret(),
+    )(qkv, qkv, qkv, rh, rw, lse, delta, dout)
 
-    v1_res = (q, k, v, rel_h, rel_w, out_h, lse_h,
-              rel_h.shape, rel_w.shape)
-    dq, dk, dv, drh, drw = _flash_bwd(scale, grid_hw, v1_res, do_h)
+    dkv_in = list(common_in)
+    dkv_in[1] = pl.BlockSpec((1, bq, c),
+                             lambda b_, i: (b_, i, 1))           # k block
+    dkv_in[2] = pl.BlockSpec((1, bq, c),
+                             lambda b_, i: (b_, i, 2))           # v block
+    dkv_in[5] = pl.BlockSpec((1, num_heads, n), lambda b_, i: (b_, 0, 0))
+    dkv_in[6] = pl.BlockSpec((1, num_heads, n), lambda b_, i: (b_, 0, 0))
+    lse_t = lse.transpose(0, 2, 1)                               # (B, H, N)
+    delta_t = delta.transpose(0, 2, 1)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, num_heads=num_heads,
+                          grid_hw=grid_hw, bk=bq),
+        grid=(b, n // bq),
+        in_specs=dkv_in,
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_use_interpret(),
+    )(qkv, qkv, qkv, rh, rw, lse_t, delta_t, dout)
 
-    def merge_heads(x):                       # (BH, N, d) -> (B, N, C)
-        return x.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(
-            b, n, c)
-
-    def merge_rel(r, width):
-        return r.reshape(b, num_heads, n, width).transpose(0, 2, 1, 3
-                                                           ).reshape(
-            b, n, num_heads * width)
-
-    dqkv = jnp.concatenate(
-        [merge_heads(g.astype(qkv.dtype)) for g in (dq, dk, dv)], axis=-1)
-    drh_p = merge_rel(drh.astype(rh.dtype), gh)
-    drw_p = merge_rel(drw.astype(rw.dtype), gw)
-    return dqkv, drh_p, drw_p
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, drh, drw
 
 
 flash_attention_packed.defvjp(_v2g_fwd_vjp, _v2g_bwd)
