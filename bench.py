@@ -31,14 +31,18 @@ def main():
     # Production (from-scratch) config: bf16, packed Pallas kernels, full
     # content crop — the reference pipeline zero-pads 768px content into a
     # 1024 canvas (misc.py:50) and spends 44% of its FLOPs on pad tokens;
-    # here the whole network runs at content resolution. Released-checkpoint
+    # here the whole network runs at content resolution, with window_size
+    # 12 (the natural choice for the 48x48 content grid: windows tile it
+    # exactly, where SAM's 14 would re-pad 48 -> 56; SAM init still works —
+    # the converter center-slices the rel-pos tables). Released-checkpoint
     # inference instead uses bf16+flash at the full canvas, which is
-    # mAP-exact vs the f32 parity path (PERF.md "drift as mAP"); its
-    # throughput tier is recorded in PERF.md alongside this number.
+    # mAP-exact vs the f32 parity path (PERF.md "drift as mAP"); every
+    # tier's throughput is recorded in PERF.md alongside this number.
     cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True,
                        content_size=768)
     cfg = dataclasses.replace(
         cfg, crop_prologue=True,
+        vit=dataclasses.replace(cfg.vit, window_size=12),
         hfc=dataclasses.replace(cfg.hfc, compat_scrambled_reshape=False))
     model = WildlifeMapper(cfg)
     rng = np.random.default_rng(0)

@@ -145,3 +145,23 @@ def test_map_torch_keys_deep_registries(depth, dim, heads):
             assert mapped[leaf].shape == shape, (leaf, mapped[leaf].shape)
     # no block beyond depth leaks in
     assert f"image_encoder/blocks_{depth}/attn/qkv/kernel" not in mapped
+
+
+def test_rel_pos_center_slice_for_smaller_window():
+    """A checkpoint with 27-row windowed rel tables (window 14) loads into a
+    window-12 model (23 rows) by center slicing — same rule as content crop."""
+    import numpy as np
+
+    from wildlifemapper_tpu.compat.torch_convert import merge_into_params
+
+    init = {"params": {"blocks_0": {"attn": {
+        "rel_pos_h": np.zeros((23, 8), np.float32),
+        "rel_pos_w": np.zeros((23, 8), np.float32),
+    }}}}
+    table = np.arange(27 * 8, dtype=np.float32).reshape(27, 8)
+    mapped = {"blocks_0/attn/rel_pos_h": table,
+              "blocks_0/attn/rel_pos_w": table + 1}
+    new, report = merge_into_params(init, mapped)
+    got = np.asarray(new["params"]["blocks_0"]["attn"]["rel_pos_h"])
+    np.testing.assert_array_equal(got, table[2:25])
+    assert sorted(report["loaded"]) == sorted(mapped)

@@ -189,9 +189,22 @@ def merge_into_params(params: Dict[str, Any], mapped: Mapping[str, np.ndarray],
     loaded, unexpected = [], []
     for k, v in mapped.items():
         if k in flat:
-            if tuple(flat[k].shape) != tuple(v.shape):
+            want = tuple(np.asarray(flat[k]).shape)
+            if (tuple(v.shape) != want and k.endswith(("rel_pos_h", "rel_pos_w"))
+                    and v.ndim == 2 and v.shape[0] > want[0]
+                    and v.shape[0] % 2 == 1 and want[0] % 2 == 1
+                    and v.shape[1] == want[1]):
+                # Smaller target window (e.g. window_size 12 vs SAM's 14):
+                # relative distances are a center subset of the table, so a
+                # center slice preserves the trained embeddings exactly —
+                # the same rule RelPosAttention uses for content crop (NOT
+                # the reference's interpolation, which is for resolution
+                # changes, image_encoder.py:328-335).
+                off = (v.shape[0] - want[0]) // 2
+                v = v[off:off + want[0]]
+            if tuple(v.shape) != want:
                 raise ValueError(
-                    f"shape mismatch for {k}: ckpt {v.shape} vs init {flat[k].shape}")
+                    f"shape mismatch for {k}: ckpt {v.shape} vs init {want}")
             flat[k] = v.astype(np.asarray(flat[k]).dtype)
             loaded.append(k)
         else:
