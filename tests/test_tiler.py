@@ -61,3 +61,32 @@ def test_orthomosaic_end_to_end():
     # coordinates
     assert len(out["boxes"]) > 0
     assert (out["boxes"][:, 2] <= 150 + 64).all()
+
+
+def test_orthomosaic_mesh_sharded_matches_single_device():
+    """Tile batches sharded over the 8-device mesh's data axis must give
+    the same fused detections as the single-device path (pod-scale mosaic
+    inference: tiles ride the data axis, params replicated)."""
+    import jax
+
+    from wildlifemapper_tpu.models import WildlifeMapper
+    from wildlifemapper_tpu.parallel.mesh import make_mesh
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config()
+    m = WildlifeMapper(cfg)
+    params = m.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    mosaic = np.random.default_rng(1).integers(0, 255, (100, 150, 3),
+                                               dtype=np.uint8)
+    base = OrthomosaicDetector(m, params, cfg, tile_batch=2, overlap=16,
+                               confidence_threshold=0.0, nms_iou=0.4
+                               ).detect(mosaic)
+    mesh = make_mesh(model_parallel=1)
+    det = OrthomosaicDetector(m, params, cfg, tile_batch=2, overlap=16,
+                              confidence_threshold=0.0, nms_iou=0.4,
+                              mesh=mesh)
+    assert det.tile_batch == len(jax.devices())  # rounded up to data size
+    out = det.detect(mosaic)
+    np.testing.assert_allclose(out["boxes"], base["boxes"], atol=1e-4)
+    np.testing.assert_allclose(out["scores"], base["scores"], atol=1e-5)
+    np.testing.assert_array_equal(out["labels"], base["labels"])

@@ -68,6 +68,11 @@ def add_config_args(p: argparse.ArgumentParser):
                    help="content-crop fast path: run the ViT blocks on the "
                         "content grid only (e.g. 768 for the standard "
                         "768-in-1024 canvas); None = reference behavior")
+    p.add_argument("--window_size", type=int, default=None,
+                   help="windowed-attention window (default: the variant's "
+                        "14). 12 tiles the 48x48 content grid exactly — the "
+                        "production from-scratch choice (PERF.md); SAM init "
+                        "center-slices the rel-pos tables")
     p.add_argument("--crop_prologue", action="store_true",
                    help="from-scratch mode: HFC/patch-embeds/adaptor also "
                         "run at content_size (implies "
@@ -99,8 +104,12 @@ def config_from_args(args) -> Config:
         use_flash_attention=not args.no_flash_attention)
     fix_scramble = (getattr(args, "fix_scrambled_reshape", False)
                     or getattr(args, "crop_prologue", False))
+    vit = model.vit
+    if getattr(args, "window_size", None):
+        vit = dataclasses.replace(vit, window_size=args.window_size)
     model = dataclasses.replace(
         model,
+        vit=vit,
         img_size=args.canvas_size,
         content_size=getattr(args, "content_size", None),
         crop_prologue=getattr(args, "crop_prologue", False),

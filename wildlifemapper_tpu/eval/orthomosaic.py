@@ -41,18 +41,34 @@ def _nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 
 
 class OrthomosaicDetector:
-    """Detect over an arbitrarily large RGB mosaic with a trained model."""
+    """Detect over an arbitrarily large RGB mosaic with a trained model.
+
+    With `mesh` set, tile batches are sharded over the mesh's 'data' axis —
+    every chip runs the detector on its tile shard and XLA gathers the
+    fixed-shape detections; tile_batch is rounded up to a multiple of the
+    data-axis size. This is the pod-scale mosaic path: tiles ride the data
+    axis, params are replicated (or TP-sharded by shard_params upstream).
+    """
 
     def __init__(self, model, params, model_cfg: ModelConfig,
                  tile_batch: int = 4, overlap: int = 256,
-                 confidence_threshold: float = 0.5, nms_iou: float = 0.4):
+                 confidence_threshold: float = 0.5, nms_iou: float = 0.4,
+                 mesh=None):
         self.model = model
-        self.params = params
         self.cfg = model_cfg
-        self.tile_batch = tile_batch
         self.overlap = overlap
         self.confidence_threshold = confidence_threshold
         self.nms_iou = nms_iou
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            ndata = mesh.shape["data"]
+            tile_batch = -(-tile_batch // ndata) * ndata
+            self._batch_sharding = mesh_lib.batch_sharding(mesh)
+            params = jax.device_put(params, mesh_lib.replicated(mesh))
+        self.params = params
+        self.tile_batch = tile_batch
 
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
@@ -69,6 +85,11 @@ class OrthomosaicDetector:
                                hw_swap_compat=False)
 
         self._run = run
+
+    def _put(self, batch: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(batch)
+        return jax.device_put(batch, self._batch_sharding)
 
     def detect(self, mosaic: np.ndarray) -> Dict[str, np.ndarray]:
         """mosaic: (H, W, 3) uint8. Returns fused detections in mosaic
@@ -102,7 +123,7 @@ class OrthomosaicDetector:
             if pad:
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-            dets_dev = self._run(self.params, jnp.asarray(batch))  # async
+            dets_dev = self._run(self.params, self._put(batch))  # async
             if pending is not None:
                 drain(*pending)
             pending = (idxs, dets_dev)
