@@ -191,3 +191,17 @@ def test_eval_jit_hoisted_across_calls():
     j1(1.0, jnp.ones(3))
     j2(2.0, jnp.ones(3))
     assert len(traces) == 1
+
+
+def test_config_json_saved_with_checkpoints(tmp_path, rng):
+    """train() persists the exact Config beside checkpoints; the JSON
+    round-trips back to an equal Config (from-scratch runs are
+    reconstructable at eval time)."""
+    from wildlifemapper_tpu.config import config_from_json
+    from wildlifemapper_tpu.train.loop import train
+
+    cfg = tiny_full_config()
+    train(cfg, workdir=str(tmp_path), epochs=1, max_steps_per_epoch=1,
+          max_eval_batches=1)
+    text = (tmp_path / "config.json").read_text()
+    assert config_from_json(text) == cfg

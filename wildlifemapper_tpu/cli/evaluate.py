@@ -17,8 +17,20 @@ def main(argv=None):
     p.add_argument("--nms", action="store_true",
                    help="apply NMS 0.4 (the viz path's setting)")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--config_json", default=None,
+                   help="config.json written by the trainer beside its "
+                        "checkpoints; overrides the flag-derived model "
+                        "config so from-scratch runs (crop_prologue, "
+                        "window 12, ...) evaluate with the exact trained "
+                        "architecture")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
+    if args.config_json:
+        from ..config import config_from_json
+        saved = config_from_json(open(args.config_json).read())
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=saved.model,
+                                  criterion=saved.criterion)
 
     import jax
 

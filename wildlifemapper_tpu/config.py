@@ -269,3 +269,40 @@ def model_config(variant: str = "vit_b", **overrides) -> ModelConfig:
     """Build a ModelConfig for a registry variant ('vit_b'|'vit_l'|'vit_h')."""
     vit = VIT_REGISTRY[variant]
     return dataclasses.replace(ModelConfig(vit=vit), **overrides)
+
+
+# ---- persistence -----------------------------------------------------------
+# The reference reconstructs eval-time models by re-typing the training
+# flags; here the exact Config is written next to the checkpoints so a
+# from-scratch run (e.g. --crop_prologue --window_size 12) is reproducible
+# without remembering its flag set.
+
+def config_to_json(cfg: Config) -> str:
+    import json
+
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def _from_dict(cls, d):
+    # `from __future__ import annotations` stringifies f.type, so nested
+    # dataclass types are resolved from the field defaults (every nested
+    # config field has a dataclass default).
+    defaults = cls()
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        default = getattr(defaults, f.name)
+        if dataclasses.is_dataclass(default) and isinstance(v, dict):
+            v = _from_dict(type(default), v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def config_from_json(text: str) -> Config:
+    import json
+
+    return _from_dict(Config, json.loads(text))

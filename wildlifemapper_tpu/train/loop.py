@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 from typing import Dict, Optional
 
 import jax
@@ -60,6 +61,12 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
 
     state = builder.init_state(params, steps_per_epoch)
     ckpt = CheckpointManager(workdir)
+    if jax.process_index() == 0:
+        # Persist the exact Config beside the checkpoints so eval-time
+        # reconstruction of a from-scratch run (crop_prologue, window 12,
+        # scramble fix, ...) never depends on remembering flags.
+        from ..config import config_to_json
+        (Path(workdir) / "config.json").write_text(config_to_json(cfg))
     start_epoch = 0
     if resume and ckpt.latest_epoch() is not None:
         ep = ckpt.latest_epoch()
