@@ -126,8 +126,8 @@ def test_relpos_attention_packed_global_matches_plain(rng, monkeypatch):
 
 
 def test_relpos_attention_packed_global_grads(rng, monkeypatch):
-    """End-to-end grads through the packed-global VJP (which reuses the v1
-    flash backward) match the plain path."""
+    """End-to-end grads through the packed-global VJP (packed two-kernel
+    backward) match the plain path."""
     import wildlifemapper_tpu.models.vit as vit
 
     monkeypatch.setattr(vit, "GLOBAL_N_THRESHOLD", 64)
@@ -152,3 +152,35 @@ def test_relpos_attention_packed_global_grads(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(flat_f[path]),
                                    np.asarray(val), atol=5e-4, rtol=1e-3,
                                    err_msg=str(path))
+
+
+def test_gradients_match_multiple_blocks(rng):
+    """Backward with several q/k blocks: exercises the dkv kernel's
+    k0-offset expansion matrices and the dq kernel's block slicing."""
+    import wildlifemapper_tpu.ops.flash_attention_v2 as fa2
+
+    old_bq = fa2.DEFAULT_BQ
+    fa2.DEFAULT_BQ = 16
+    try:
+        qkv, rel_h, rel_w = _inputs(rng, b=2, h=8, w=8, heads=2, d=16)
+        rhT, rw = pack_rel_global(rel_h, rel_w, 2, (8, 8))
+        g = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+
+        def lf(qkv_, rhT_, rw_):
+            return jnp.sum(
+                flash_attention_packed(qkv_, rhT_, rw_, 0.25, 2, (8, 8)) * g)
+
+        def lr(qkv_, rh_, rw_):
+            return jnp.sum(_oracle(qkv_, rh_, rw_, 0.25, 2, (8, 8)) * g)
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(qkv, rhT, rw)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(qkv, rel_h, rel_w)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                                   atol=5e-4, rtol=1e-3, err_msg="dqkv")
+        want_rhT, want_rw = pack_rel_global(gr[1], gr[2], 2, (8, 8))
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(want_rhT),
+                                   atol=5e-4, rtol=1e-3, err_msg="drh")
+        np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(want_rw),
+                                   atol=5e-4, rtol=1e-3, err_msg="drw")
+    finally:
+        fa2.DEFAULT_BQ = old_bq
