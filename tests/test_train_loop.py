@@ -205,3 +205,33 @@ def test_config_json_saved_with_checkpoints(tmp_path, rng):
           max_eval_batches=1)
     text = (tmp_path / "config.json").read_text()
     assert config_from_json(text) == cfg
+
+
+def test_remat_blocks_same_loss_and_grads(rng):
+    """remat_blocks must not change the function — loss and grads equal
+    (it only changes what the backward stores)."""
+    import dataclasses
+
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = tiny_full_config()
+    m_plain = WildlifeMapper(cfg.model)
+    m_remat = WildlifeMapper(
+        dataclasses.replace(cfg.model, remat_blocks=True))
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(mod):
+        def f(p):
+            o = mod.apply(p, x)
+            return jnp.sum(o["pred_boxes"]) + jnp.sum(jnp.tanh(o["pred_logits"]))
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m_plain))(params)
+    l1, g1 = jax.value_and_grad(loss(m_remat))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (k0, v0), (k1, v1) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   atol=1e-5, rtol=1e-5, err_msg=str(k0))

@@ -73,6 +73,11 @@ def add_config_args(p: argparse.ArgumentParser):
                         "14). 12 tiles the 48x48 content grid exactly — the "
                         "production from-scratch choice (PERF.md); SAM init "
                         "center-slices the rel-pos tables")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize ViT blocks in the backward "
+                        "(jax.checkpoint): ~1 extra block-forward of FLOPs "
+                        "for O(1) stored activations — fits ViT-L/H "
+                        "training batches in HBM")
     p.add_argument("--crop_prologue", action="store_true",
                    help="from-scratch mode: HFC/patch-embeds/adaptor also "
                         "run at content_size (implies "
@@ -113,6 +118,7 @@ def config_from_args(args) -> Config:
         img_size=args.canvas_size,
         content_size=getattr(args, "content_size", None),
         crop_prologue=getattr(args, "crop_prologue", False),
+        remat_blocks=getattr(args, "remat", False),
         hfc=dataclasses.replace(
             model.hfc, rate=args.hfc_rate,
             compat_scrambled_reshape=not fix_scramble),

@@ -125,6 +125,11 @@ class ModelConfig:
     # the full-canvas prologue. This is the from-scratch training
     # configuration: train and eval see the same (cheaper) function.
     crop_prologue: bool = False
+    # Rematerialize each ViT block's activations in the backward pass
+    # (jax.checkpoint / flax nn.remat): trades ~1 extra forward of block
+    # FLOPs for O(depth) -> O(1) stored activations — the knob that fits
+    # ViT-L/H training batches in HBM. No effect on inference.
+    remat_blocks: bool = False
 
     def __post_init__(self):
         if self.crop_prologue:

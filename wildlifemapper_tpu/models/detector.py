@@ -55,6 +55,7 @@ class WildlifeMapper(nn.Module):
             hfc_dropout=cfg.hfc.dropout, use_flash=cfg.use_flash_attention,
             attn_impl=cfg.attn_impl, content_grid=cfg.content_grid,
             hfc_scrambled_reshape=cfg.hfc.compat_scrambled_reshape,
+            remat_blocks=cfg.remat_blocks,
             dtype=dtype, name="image_encoder")(
                 images, hfc, deterministic=deterministic)
 

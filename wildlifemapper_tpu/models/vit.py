@@ -322,6 +322,8 @@ class ImageEncoderViT(nn.Module):
     # itself runs at the input grid and this crop is a no-op.
     content_grid: Optional[int] = None
     hfc_scrambled_reshape: bool = True
+    # jax.checkpoint each transformer block (see ModelConfig.remat_blocks).
+    remat_blocks: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -357,15 +359,16 @@ class ImageEncoderViT(nn.Module):
             run_grid = self.content_grid
             x = x[:, :run_grid, :run_grid, :]
 
+        block_cls = nn.remat(Block) if self.remat_blocks else Block
         for i in range(self.depth):
-            x = Block(dim=self.embed_dim, num_heads=self.num_heads,
-                      mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                      use_rel_pos=self.use_rel_pos,
-                      window_size=(0 if i in self.global_attn_indexes
-                                   else self.window_size),
-                      input_size=(run_grid, run_grid),
-                      table_size=(grid, grid), use_flash=self.use_flash,
-                      attn_impl=self.attn_impl,
-                      dtype=self.dtype, name=f"blocks_{i}")(x)
+            x = block_cls(dim=self.embed_dim, num_heads=self.num_heads,
+                          mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                          use_rel_pos=self.use_rel_pos,
+                          window_size=(0 if i in self.global_attn_indexes
+                                       else self.window_size),
+                          input_size=(run_grid, run_grid),
+                          table_size=(grid, grid), use_flash=self.use_flash,
+                          attn_impl=self.attn_impl,
+                          dtype=self.dtype, name=f"blocks_{i}")(x)
 
         return Neck(out_chans=self.out_chans, dtype=self.dtype, name="neck")(x)
