@@ -142,3 +142,34 @@ def test_pad_targets_no_silent_loss_on_bundled_dataset():
     with pytest.warns(RuntimeWarning, match="truncating 118"):
         _, _, v64 = pad_targets(boxes, labels, 64)
     assert int(v64.sum()) == 64
+
+
+@pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
+def test_worker_modes_deterministic_and_equal():
+    """serial, thread, and process (fork) workers must produce identical
+    batches for the same seed — augmentation rngs are per-example, so
+    completion order cannot matter."""
+    ds = CocoDetectionDataset(str(REF_ANN), None,
+                              PreprocessConfig(flip_prob=0.5),
+                              synthetic=True, synthetic_size=256)
+
+    def first_batches(num_workers, mode):
+        loader = DataLoader(ds, batch_size=3, shuffle=True, seed=7,
+                            drop_last=True, num_workers=num_workers,
+                            worker_mode=mode)
+        out = []
+        it = loader.epoch(0)
+        for _ in range(2):
+            out.append(next(it))
+        loader.close()
+        return out
+
+    # num_workers>0 paths share the per-example child-seed scheme (the
+    # serial path consumes the epoch rng sequentially — a different but
+    # equally deterministic stream)
+    base = first_batches(1, "thread")
+    for nw, mode in ((2, "thread"), (1, "process"), (2, "process")):
+        got = first_batches(nw, mode)
+        for b0, b1 in zip(base, got):
+            for k in b0:
+                np.testing.assert_array_equal(b1[k], b0[k], err_msg=f"{mode}/{k}")

@@ -60,6 +60,11 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--true_horizontal_flip", action="store_true",
                    help="fix the reference's vertical-flip quirk")
     p.add_argument("--mosaic", action="store_true")
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--worker_mode", choices=["thread", "process"],
+                   default="thread",
+                   help="loader worker pool; 'process' (fork) gives full "
+                        "parallelism for augmentation on multi-core hosts")
     # model knobs the reference hardcodes
     p.add_argument("--num_queries", type=int, default=51)
     p.add_argument("--hfc_rate", type=float, default=0.125)
@@ -140,7 +145,9 @@ def config_from_args(args) -> Config:
             flip_prob=args.flip_prob,
             flip_is_vertical=not args.true_horizontal_flip,
             use_mosaic=args.mosaic, max_targets=args.max_targets,
-            batch_size=args.batch_size, synthetic=args.synthetic_data),
+            batch_size=args.batch_size, synthetic=args.synthetic_data,
+            num_workers=getattr(args, "num_workers", 2),
+            worker_mode=getattr(args, "worker_mode", "thread")),
         train=TrainConfig(
             lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
             lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,

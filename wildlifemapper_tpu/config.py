@@ -203,6 +203,10 @@ class DataConfig:
     max_targets: int = 128
     batch_size: int = 6
     num_workers: int = 2
+    # "thread" (PIL releases the GIL around decode) or "process" (fork
+    # worker pool — full parallelism for the numpy augmentation work; the
+    # right choice on multi-core training hosts).
+    worker_mode: str = "thread"
     synthetic: bool = False       # generate random tiles when images are absent
 
 

@@ -125,6 +125,20 @@ def _collate(examples) -> Dict[str, np.ndarray]:
     return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
 
 
+# Process-pool worker plumbing: the dataset is shipped once per worker via
+# the initializer (fork start method), not pickled per task.
+_worker_ds: Optional[CocoDetectionDataset] = None
+
+
+def _init_worker(ds):
+    global _worker_ds
+    _worker_ds = ds
+
+
+def _worker_get(i: int, seed: int):
+    return _worker_ds.get(int(i), np.random.default_rng(int(seed)))
+
+
 class DataLoader:
     """Epoch-based iterator over global batches (or this process's shard).
 
@@ -136,7 +150,8 @@ class DataLoader:
     def __init__(self, dataset: CocoDetectionDataset, batch_size: int,
                  shuffle: bool, seed: int = 42, drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2, num_workers: int = 0):
+                 prefetch: int = 2, num_workers: int = 0,
+                 worker_mode: str = "thread"):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -145,10 +160,41 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
-        # >0: decode/preprocess examples in a thread pool (PIL releases the
-        # GIL around decode/resize), like torch DataLoader workers
-        # (train.py:167-170) but thread- instead of process-based.
+        # >0: decode/preprocess examples in a worker pool, like torch
+        # DataLoader workers (train.py:167-170). worker_mode:
+        #   "thread"  — ThreadPoolExecutor; PIL releases the GIL around
+        #               decode/resize, numpy warps mostly do not.
+        #   "process" — fork ProcessPoolExecutor (dataset shipped once per
+        #               worker); full parallelism for the augmentation's
+        #               numpy work on multi-core hosts.
+        # Determinism is identical in all modes: each example gets a child
+        # rng derived from the epoch stream, so completion order is
+        # irrelevant.
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
+        self._pool = None
+
+    def _get_pool(self):
+        if self.num_workers <= 0:
+            return None
+        if self._pool is None:
+            if self.worker_mode == "process":
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("fork"),
+                    initializer=_init_worker, initargs=(self.ds,))
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.ds)
@@ -172,20 +218,21 @@ class DataLoader:
         rng = np.random.default_rng((self.seed, epoch, self.process_index))
         nb = self.batches_per_epoch()
 
-        pool = None
-        if self.num_workers > 0:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pool = self._get_pool()
 
         def load_batch(idxs):
             if pool is None:
                 return [self.ds.get(int(i), rng) for i in idxs]
             # per-example child rngs keep augmentation deterministic even
-            # with out-of-order thread completion
+            # with out-of-order worker completion
             seeds = rng.integers(0, 2**31, size=len(idxs))
-            futs = [pool.submit(self.ds.get, int(i),
-                                np.random.default_rng(int(s)))
-                    for i, s in zip(idxs, seeds)]
+            if self.worker_mode == "process":
+                futs = [pool.submit(_worker_get, int(i), int(s))
+                        for i, s in zip(idxs, seeds)]
+            else:
+                futs = [pool.submit(self.ds.get, int(i),
+                                    np.random.default_rng(int(s)))
+                        for i, s in zip(idxs, seeds)]
             return [f.result() for f in futs]
 
         def producer(q: queue.Queue):
@@ -208,17 +255,13 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=producer, args=(q,), daemon=True)
         t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            if pool is not None:
-                pool.shutdown(wait=False)
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
 
 def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:

@@ -38,7 +38,8 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
     train_loader = DataLoader(
         train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.train.seed,
         drop_last=True, process_index=jax.process_index(),
-        process_count=jax.process_count(), num_workers=cfg.data.num_workers)
+        process_count=jax.process_count(), num_workers=cfg.data.num_workers,
+        worker_mode=cfg.data.worker_mode)
     val_loader = DataLoader(val_ds, cfg.data.batch_size, shuffle=False,
                             drop_last=False,
                             process_index=jax.process_index(),
