@@ -264,6 +264,12 @@ class Block(nn.Module):
         if self.window_size > 0:
             x = window_ops.window_unpartition(x, self.window_size, pad_hw, (h, w))
 
+        # Named for the remat policy: with remat_blocks, attention outputs
+        # are SAVED (the Pallas kernels never re-lower inside the backward)
+        # while LN/MLP/residual activations are recomputed — see
+        # ImageEncoderViT.
+        from jax.ad_checkpoint import checkpoint_name
+        x = checkpoint_name(x, "attn_out")
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(mlp_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
@@ -359,7 +365,16 @@ class ImageEncoderViT(nn.Module):
             run_grid = self.content_grid
             x = x[:, :run_grid, :run_grid, :]
 
-        block_cls = nn.remat(Block) if self.remat_blocks else Block
+        # Remat policy: save the attention outputs (a few 10s of MB per
+        # block) so the backward recomputes only LN/MLP/residual work — the
+        # Pallas attention kernels are not re-lowered into the bwd module
+        # (which also sidesteps a remote-compile-helper crash on ViT-L/H
+        # flash+full-remat modules, PERF.md), while the big activations
+        # (MLP hidden, qkv, scores) are still discarded.
+        block_cls = (nn.remat(
+            Block,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+            if self.remat_blocks else Block)
         for i in range(self.depth):
             x = block_cls(dim=self.embed_dim, num_heads=self.num_heads,
                           mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
