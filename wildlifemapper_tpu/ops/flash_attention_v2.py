@@ -40,8 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BQ = 512
 VMEM_LIMIT = 64 * 1024 * 1024
 
-_NEG_INF = -1e30
-
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
