@@ -10,4 +10,5 @@ python -m wildlifemapper_tpu.cli.train \
     --coco_path "$ANN" --image_root "$IMAGES" \
     --use_amp --content_size 768 --crop_prologue --window_size 12 \
     --batch_size 8 --num_workers "$(nproc)" --worker_mode process \
+    --device_normalize \
     --work_dir ./checkpoints "$@"

@@ -235,3 +235,36 @@ def test_remat_blocks_same_loss_and_grads(rng):
             jax.tree_util.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
                                    atol=1e-5, rtol=1e-5, err_msg=str(k0))
+
+
+def test_device_normalize_matches_host_normalize(rng):
+    """uint8 batches + in-step normalization must equal the host-normalized
+    f32 path (same f32 math, 4x less transfer)."""
+    import dataclasses
+
+    from wildlifemapper_tpu.data.loader import DataLoader, build_dataset
+
+    cfg = tiny_full_config()
+    cfg_dev = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_normalize=True,
+                                      flip_prob=0.0))
+    cfg_host = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, flip_prob=0.0))
+
+    def one_eval(c):
+        ds = build_dataset("val", c.data)
+        loader = DataLoader(ds, 2, shuffle=False, drop_last=True)
+        batch = next(iter(loader.epoch(0)))
+        builder = StepBuilder(c)
+        params = builder.init_params(jax.random.PRNGKey(0))
+        builder.init_state(params, steps_per_epoch=1)
+        out, losses = builder.eval_step_fn()(params, jax.tree.map(
+            jnp.asarray, {k: batch[k] for k in
+                          ("image", "labels", "boxes", "valid", "size")}))
+        return batch, np.asarray(out["pred_boxes"])
+
+    b_dev, o_dev = one_eval(cfg_dev)
+    b_host, o_host = one_eval(cfg_host)
+    assert b_dev["image"].dtype == np.uint8
+    assert b_host["image"].dtype == np.float32
+    np.testing.assert_allclose(o_dev, o_host, atol=1e-5, rtol=1e-5)

@@ -61,6 +61,9 @@ def add_config_args(p: argparse.ArgumentParser):
                    help="fix the reference's vertical-flip quirk")
     p.add_argument("--mosaic", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--device_normalize", action="store_true",
+                   help="ship uint8 canvases and normalize inside the "
+                        "jitted step (4x less host->device transfer)")
     p.add_argument("--worker_mode", choices=["thread", "process"],
                    default="thread",
                    help="loader worker pool; 'process' (fork) gives full "
@@ -147,7 +150,8 @@ def config_from_args(args) -> Config:
             use_mosaic=args.mosaic, max_targets=args.max_targets,
             batch_size=args.batch_size, synthetic=args.synthetic_data,
             num_workers=getattr(args, "num_workers", 2),
-            worker_mode=getattr(args, "worker_mode", "thread")),
+            worker_mode=getattr(args, "worker_mode", "thread"),
+            device_normalize=getattr(args, "device_normalize", False)),
         train=TrainConfig(
             lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
             lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,

@@ -207,6 +207,9 @@ class DataConfig:
     # worker pool — full parallelism for the numpy augmentation work; the
     # right choice on multi-core training hosts).
     worker_mode: str = "thread"
+    # Ship uint8 canvases and normalize inside the jitted step: 4x less
+    # host->device transfer (identical math; see PreprocessConfig).
+    device_normalize: bool = False
     synthetic: bool = False       # generate random tiles when images are absent
 
 

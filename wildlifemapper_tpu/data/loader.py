@@ -271,7 +271,8 @@ def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:
         max_targets=data_cfg.max_targets,
         flip_prob=data_cfg.flip_prob if split == "train" else 0.0,
         flip_is_vertical=data_cfg.flip_is_vertical,
-        use_mosaic=data_cfg.use_mosaic if split == "train" else False)
+        use_mosaic=data_cfg.use_mosaic if split == "train" else False,
+        emit_uint8=data_cfg.device_normalize)
     ann_file = f"{data_cfg.coco_path}/{split}.json"
     root = f"{data_cfg.image_root}/{split}" if data_cfg.image_root else None
     return CocoDetectionDataset(ann_file, root, pre,

@@ -153,6 +153,11 @@ class PreprocessConfig:
     flip_prob: float = 0.0
     flip_is_vertical: bool = True
     use_mosaic: bool = False
+    # Emit uint8 canvases and let the jitted step normalize on device:
+    # 4x less host->device transfer per batch (100 -> 25 MB at B=8) and
+    # one less full-canvas f32 pass on the host. Identical math — the
+    # (x/255 - mean)/std runs in f32 either way.
+    emit_uint8: bool = False
 
 
 def finish_example(arr_u8: np.ndarray, boxes_xyxy: np.ndarray,
@@ -161,7 +166,7 @@ def finish_example(arr_u8: np.ndarray, boxes_xyxy: np.ndarray,
                    rng: Optional[np.random.Generator] = None
                    ) -> Dict[str, np.ndarray]:
     """Shared tail of the pipeline: normalize, box-normalize, flip, pad."""
-    arr = normalize_image(arr_u8)
+    arr = arr_u8 if cfg.emit_uint8 else normalize_image(arr_u8)
     boxes = boxes_to_normalized_cxcywh(boxes_xyxy, size_hw)
     if cfg.flip_prob > 0 and rng is not None and rng.random() < cfg.flip_prob:
         arr, boxes = flip(arr, boxes, cfg.flip_is_vertical)

@@ -92,7 +92,8 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
                                  total=steps_per_epoch)):
             if step_i >= steps_per_epoch:
                 break
-            arrays = {k: batch[k] for k in ("image", "labels", "boxes", "valid")}
+            keys = ("image", "labels", "boxes", "valid", "size")
+            arrays = {k: batch[k] for k in keys if k in batch}
             state, metrics = train_step(state, arrays, dropout_rng)
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             if not np.isfinite(metrics["loss"]):

@@ -41,6 +41,32 @@ class TrainState:
     ema_params: Any = None
 
 
+def _device_normalize(images: jnp.ndarray,
+                      sizes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """uint8 canvases (DataConfig.device_normalize: 4x less host->device
+    transfer) -> ImageNet-normalized f32 inside the jitted step; f32 input
+    passes through (host already normalized).
+
+    The reference normalizes *before* zero-padding (misc.py:50), so the pad
+    band must stay exactly 0.0 in normalized space — `sizes` (B, 2) h/w
+    content extents re-zero it (black *content* pixels still normalize to
+    -mean/std, as in the reference)."""
+    if images.dtype != jnp.uint8:
+        return images
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    x = ((images.astype(jnp.float32) / 255.0)
+         - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    if sizes is not None:
+        h = images.shape[1]
+        rows = jnp.arange(h)[None, :, None, None]
+        cols = jnp.arange(images.shape[2])[None, None, :, None]
+        content = ((rows < sizes[:, 0, None, None, None])
+                   & (cols < sizes[:, 1, None, None, None]))
+        x = jnp.where(content, x, 0.0)
+    return x
+
+
 def _split_params(params: Dict[str, Any], freeze_encoder: bool):
     flat = traverse_util.flatten_dict(params["params"], sep="/")
     trainable = {k: v for k, v in flat.items()
@@ -97,8 +123,10 @@ class StepBuilder:
             def loss_fn(trainable_):
                 params = _merge_params(trainable_, frozen)
                 rng = jax.random.fold_in(dropout_rng, state.step)
-                out = model.apply(params, batch["image"],
-                                  deterministic=False, rngs={"dropout": rng})
+                out = model.apply(
+                    params,
+                    _device_normalize(batch["image"], batch.get("size")),
+                    deterministic=False, rngs={"dropout": rng})
                 losses = set_criterion(
                     out, {"labels": batch["labels"], "boxes": batch["boxes"],
                           "valid": batch["valid"]},
@@ -138,7 +166,10 @@ class StepBuilder:
         model = self.model
 
         def eval_step(params, batch):
-            out = model.apply(params, batch["image"], deterministic=True)
+            out = model.apply(params,
+                              _device_normalize(batch["image"],
+                                                batch.get("size")),
+                              deterministic=True)
             losses = set_criterion(
                 out, {"labels": batch["labels"], "boxes": batch["boxes"],
                       "valid": batch["valid"]},
