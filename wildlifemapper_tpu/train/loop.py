@@ -87,6 +87,25 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
         logger = MetricLogger(print_fn=print_fn)
         t0 = time.time()
         it = iter(train_loader.epoch(epoch))
+
+        def consume(step_j, metrics_dev):
+            metrics = {k: float(v)
+                       for k, v in jax.device_get(metrics_dev).items()}
+            if not np.isfinite(metrics["loss"]):
+                # reference: print + sys.exit(1) on non-finite loss
+                # (train.py:285-288); with the one-step-delayed fetch the
+                # guard trips one step later than the reference's.
+                print_fn(f"Loss is {metrics['loss']}, stopping training")
+                sys.exit(1)
+            logger.update(**metrics)
+            if logger_backend and step_j % 50 == 0:
+                logger_backend.log_batch(epoch, step_j, metrics)
+
+        # Metrics are fetched one step behind: jax dispatch is async, so
+        # step i runs on device while the host stages batch i+1 and reads
+        # step i-1's metrics — without this the per-step device_get
+        # serializes host IO against device compute.
+        pending = None
         for step_i, batch in enumerate(
                 logger.log_every(it, 50, header=f"Epoch: [{epoch}]",
                                  total=steps_per_epoch)):
@@ -94,16 +113,12 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
                 break
             keys = ("image", "labels", "boxes", "valid", "size")
             arrays = {k: batch[k] for k in keys if k in batch}
-            state, metrics = train_step(state, arrays, dropout_rng)
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            if not np.isfinite(metrics["loss"]):
-                # reference: print + sys.exit(1) on non-finite loss
-                # (train.py:285-288)
-                print_fn(f"Loss is {metrics['loss']}, stopping training")
-                sys.exit(1)
-            logger.update(**metrics)
-            if logger_backend and step_i % 50 == 0:
-                logger_backend.log_batch(epoch, step_i, metrics)
+            state, metrics_dev = train_step(state, arrays, dropout_rng)
+            if pending is not None:
+                consume(step_i - 1, pending)
+            pending = metrics_dev
+        if pending is not None:
+            consume(steps_per_epoch - 1, pending)
 
         # host-side meter sync across processes (reference: train.py:315 /
         # misc.py:240-251); train losses are already globally reduced.
