@@ -118,3 +118,22 @@ def test_block_packed_vs_grouped_impls(rng):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(b_v2.apply(params, x)), want,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_block_window12_production_shape(rng):
+    """Production window size (12, the exact-tiling choice for the 48-grid)
+    through a real Block: packed kernel vs the plain jnp path on a 24x24
+    grid (4 windows, no padding)."""
+    from wildlifemapper_tpu.models.vit import Block
+
+    x = jnp.asarray(rng.normal(size=(1, 24, 24, 64)).astype(np.float32))
+    kwargs = dict(dim=64, num_heads=4, window_size=12, input_size=(24, 24))
+    b_plain = Block(use_flash=False, **kwargs)
+    b_v2 = Block(use_flash=True, attn_impl="packed", **kwargs)
+    params = b_plain.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.normal(size=p.shape).astype(np.float32)) * 0.1, params)
+    want = np.asarray(b_plain.apply(params, x))
+    np.testing.assert_allclose(np.asarray(b_v2.apply(params, x)), want,
+                               atol=2e-5, rtol=1e-4)
