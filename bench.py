@@ -21,6 +21,38 @@ import numpy as np
 A100_REF_TILES_PER_SEC = 25.0
 
 
+def measure(pipeline, params, make_inputs, batches=(8, 16), n_iter=10):
+    """Best tiles/sec over `batches`. Raises if EVERY batch size fails to
+    compile — the BENCH gate must never record a vacuous 0.0 pass
+    (VERDICT r2 weak #5)."""
+    tiles_per_sec = 0.0
+    last_exc = None
+    for batch in batches:
+        inputs = make_inputs(batch)
+        # The axon remote compile helper occasionally dies on large modules
+        # (PERF.md "environment caveat"); one retry rescues the headline.
+        ok = False
+        for attempt in range(2):
+            try:
+                jax.device_get(pipeline(params, *inputs))  # compile + warm
+                ok = True
+                break
+            except Exception as e:
+                last_exc = e
+        if not ok:
+            continue
+        t0 = time.time()
+        for _ in range(n_iter):
+            out = pipeline(params, *inputs)
+        jax.device_get(out)  # full sync (block_until_ready lies over axon)
+        dt = (time.time() - t0) / n_iter
+        tiles_per_sec = max(tiles_per_sec, batch / dt)
+    if tiles_per_sec == 0.0:
+        raise RuntimeError(
+            "bench: every batch size failed to compile") from last_exc
+    return tiles_per_sec
+
+
 def main():
     import dataclasses
 
@@ -58,31 +90,13 @@ def main():
                                    class_aware=False)
         return dets
 
-    tiles_per_sec = 0.0
-    for batch in (8, 16):
+    def make_inputs(batch):
         # the canvas the collate produces: 768px content, zero pad
         xh = np.zeros((batch, 1024, 1024, 3), np.float32)
         xh[:, :768, :768, :] = rng.normal(size=(batch, 768, 768, 3))
-        x = jnp.asarray(xh)
-        orig = jnp.full((batch, 2), 1024, jnp.int32)
-        # The axon remote compile helper occasionally dies on large modules
-        # (PERF.md "environment caveat"); one retry rescues the headline.
-        for attempt in range(2):
-            try:
-                jax.device_get(pipeline(params, x, orig))  # compile + warm
-                break
-            except Exception:
-                if attempt == 1:
-                    x = None
-        if x is None:
-            continue
-        n_iter = 10
-        t0 = time.time()
-        for _ in range(n_iter):
-            out = pipeline(params, x, orig)
-        jax.device_get(out)  # full sync (block_until_ready lies over axon)
-        dt = (time.time() - t0) / n_iter
-        tiles_per_sec = max(tiles_per_sec, batch / dt)
+        return jnp.asarray(xh), jnp.full((batch, 2), 1024, jnp.int32)
+
+    tiles_per_sec = measure(pipeline, params, make_inputs)
 
     print(json.dumps({
         "metric": "1024px_tiles_per_sec_per_chip",

@@ -125,3 +125,49 @@ def test_aux_loss_model_end_to_end(rng):
     out = m.apply(params, x)
     assert len(out["aux_outputs"]) == 1  # depth 2 -> one intermediate
     assert out["aux_outputs"][0]["pred_logits"].shape == out["pred_logits"].shape
+
+
+def test_row_valid_equals_unpadded_batch(rng):
+    """Fixed-shape eval pads the final batch by repeating the last example;
+    with row_valid masking, every loss must equal evaluating the true
+    smaller batch (reference semantics, inference.py:44-56)."""
+    out3, tgt3 = _fake_batch(rng, b=3, n_valid=(5, 9, 3))
+    # padded 4-row batch: row 3 duplicates row 2
+    dup = lambda a: jnp.concatenate([a, a[-1:]], axis=0)
+    out4 = {k: dup(v) for k, v in out3.items()}
+    tgt4 = {k: dup(v) for k, v in tgt3.items()}
+    row_valid = jnp.asarray([True, True, True, False])
+
+    cfg = MatchCriterionConfig()
+    ref = set_criterion(out3, tgt3, cfg)
+    got = set_criterion(out4, tgt4, cfg, row_valid=row_valid)
+    for k in ("loss", "loss_ce", "loss_bbox", "loss_giou", "class_error",
+              "cardinality_error", "num_boxes"):
+        np.testing.assert_allclose(float(got[k]), float(ref[k]), rtol=1e-5,
+                                   err_msg=k)
+
+
+def test_class_error_matches_reference_transcription(rng):
+    """Pin class_error to a numpy transcription of the reference's exact
+    formula: build_sam.py:111 `100 - accuracy(src_logits[idx][..., :-1],
+    target_classes_o)[0]` with misc.py:87 accuracy (top-1 over the sliced
+    logits, normalized by the number of matched queries)."""
+    out, tgt = _fake_batch(rng, b=2, n_valid=(7, 4))
+    cfg = MatchCriterionConfig()
+    losses = set_criterion(out, tgt, cfg)
+
+    cols, matched = hungarian_match(out, tgt, cfg)
+    cols, matched = np.asarray(cols), np.asarray(matched)
+    logits = np.asarray(out["pred_logits"])
+    labels = np.asarray(tgt["labels"])
+    # reference: gather matched (src) logits and their target classes
+    src_logits, target_classes_o = [], []
+    for b in range(logits.shape[0]):
+        for q in np.nonzero(matched[b])[0]:
+            src_logits.append(logits[b, q])
+            target_classes_o.append(labels[b, cols[b, q]])
+    src_logits = np.stack(src_logits)[..., :-1]  # slice BEFORE argmax
+    target_classes_o = np.asarray(target_classes_o)
+    acc = 100.0 * np.mean(src_logits.argmax(-1) == target_classes_o)
+    np.testing.assert_allclose(float(losses["class_error"]), 100.0 - acc,
+                               rtol=1e-5)

@@ -268,3 +268,24 @@ def test_device_normalize_matches_host_normalize(rng):
     assert b_dev["image"].dtype == np.uint8
     assert b_host["image"].dtype == np.float32
     np.testing.assert_allclose(o_dev, o_host, atol=1e-5, rtol=1e-5)
+
+
+def test_val_image_overlays_logged(tmp_path):
+    """The epoch loop logs first-val-batch bbox overlays through the logger
+    backend (reference: wandb_logger.py:169-270 during training)."""
+    from wildlifemapper_tpu.train.logging import JsonlLogger
+    from wildlifemapper_tpu.train.loop import train
+
+    cfg = tiny_full_config()
+    backend = JsonlLogger(str(tmp_path / "logs"), run_name="t")
+    train(cfg, workdir=str(tmp_path), epochs=1, max_steps_per_epoch=1,
+          max_eval_batches=1, logger_backend=backend,
+          print_fn=lambda *a, **k: None)
+    backend.finish()
+    import json
+    events = [json.loads(l) for l in
+              (tmp_path / "logs" / "t.jsonl").read_text().splitlines()]
+    img_events = [e for e in events if e.get("event") == "images"]
+    assert img_events and img_events[0]["count"] >= 1
+    written = list((tmp_path / "logs" / "t_images").glob("epoch_0_*.jpg"))
+    assert len(written) == img_events[0]["count"]

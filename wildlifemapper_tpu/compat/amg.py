@@ -7,8 +7,11 @@ RLE encode/decode :80-125, stability score :130-145, crop-box generation
 train/eval path, but it describes the tiled/cropped-inference capabilities
 a SAM-lineage user expects; the first-class streaming path lives in
 data/tiler.py + eval/orthomosaic.py, and this module provides the
-API-compatible pieces (implemented from the documented semantics, not
-ported code).
+API-compatible pieces. Point grids, RLE codecs, and stability score are
+re-derived implementations; generate_crop_boxes reproduces the reference's
+exact crop-tiling rule (amg.py:200-234) in vectorized form — output-level
+parity is intentional there, since downstream tooling indexes into the
+box/layer lists positionally.
 
 TPU notes: stability_score and batched_mask_to_box are jnp and jit-safe
 (fixed shapes, no data-dependent control flow); RLE codecs are host-side
@@ -109,29 +112,33 @@ def generate_crop_boxes(im_size: Tuple[int, int], n_layers: int,
                         overlap_ratio: float
                         ) -> Tuple[List[List[int]], List[int]]:
     """Per-layer crop boxes: layer i has (2**i)^2 overlapping crops plus the
-    layer-0 full image. Returns (boxes xyxy, layer indices)."""
-    crop_boxes: List[List[int]] = []
-    layer_idxs: List[int] = []
+    layer-0 full image. Returns (boxes xyxy, layer indices).
+
+    Output parity with the reference's generate_crop_boxes
+    (segment_anything/utils/amg.py:200-234) — same tiling rule, vectorized:
+    layer i uses n = 2^i crops per side whose overlap is
+    `int(overlap_ratio * short_side * 2 / n)` pixels, and the crop length is
+    the smallest integer L with n*L - (n-1)*overlap >= extent (so the grid
+    covers the image); origins step by the stride L - overlap and boxes are
+    clamped to the image. Box order (x-major, matching the reference's
+    itertools.product) is preserved so layer_idxs line up downstream."""
     im_h, im_w = im_size
     short_side = min(im_h, im_w)
-    crop_boxes.append([0, 0, im_w, im_h])
-    layer_idxs.append(0)
+    crop_boxes: List[List[int]] = [[0, 0, im_w, im_h]]
+    layer_idxs: List[int] = [0]
 
-    def crop_len(orig_len, n_crops, overlap):
-        return int(np.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
-
-    for i_layer in range(n_layers):
-        n_crops_per_side = 2 ** (i_layer + 1)
-        overlap = int(overlap_ratio * short_side * (2 / n_crops_per_side))
-        crop_w = crop_len(im_w, n_crops_per_side, overlap)
-        crop_h = crop_len(im_h, n_crops_per_side, overlap)
-        x0s = [int((crop_w - overlap) * i) for i in range(n_crops_per_side)]
-        y0s = [int((crop_h - overlap) * i) for i in range(n_crops_per_side)]
-        for x0 in x0s:
-            for y0 in y0s:
-                crop_boxes.append([x0, y0, min(x0 + crop_w, im_w),
-                                   min(y0 + crop_h, im_h)])
-                layer_idxs.append(i_layer + 1)
+    for layer in range(1, n_layers + 1):
+        n = 2 ** layer
+        overlap = int(overlap_ratio * short_side * (2.0 / n))
+        cw = int(np.ceil((im_w + (n - 1) * overlap) / n))
+        ch = int(np.ceil((im_h + (n - 1) * overlap) / n))
+        gx, gy = np.meshgrid(np.arange(n) * (cw - overlap),
+                             np.arange(n) * (ch - overlap), indexing="ij")
+        x0, y0 = gx.ravel(), gy.ravel()
+        grid = np.stack([x0, y0, np.minimum(x0 + cw, im_w),
+                         np.minimum(y0 + ch, im_h)], axis=1)
+        crop_boxes.extend(grid.astype(int).tolist())
+        layer_idxs.extend([layer] * (n * n))
     return crop_boxes, layer_idxs
 
 

@@ -7,8 +7,9 @@ DistributedSampler recipe: epoch-seeded global permutation, rank-strided
 slice, drop_last.
 
 When image files are absent (the HerdNet images are not vendored with the
-reference), `synthetic=True` renders deterministic noise tiles with the real
-annotation geometry so the full pipeline stays exercisable end-to-end.
+reference), `synthetic=True` renders deterministic tiles with the real
+annotation geometry drawn in (class-shaded ellipses on a smooth background)
+so the full pipeline stays exercisable — and *trainable* — end-to-end.
 """
 
 from __future__ import annotations
@@ -24,11 +25,64 @@ from .coco import CocoIndex
 from .transforms import PreprocessConfig, preprocess_example
 
 
-def _synthetic_image(image_id: int, width: int, height: int) -> Image.Image:
-    """Deterministic noise tile (id-seeded) standing in for a missing file."""
+# Distinct per-class body shades (RGB) so class identity is visually
+# recoverable from a synthetic tile — arbitrary but fixed.
+_CLASS_SHADES = np.array(
+    [(30, 30, 30), (60, 20, 20), (20, 60, 20), (20, 20, 70), (70, 60, 10),
+     (10, 60, 70), (70, 10, 60), (45, 45, 5)], np.float64)
+
+
+def _synthetic_image(image_id: int, width: int, height: int,
+                     anns=()) -> Image.Image:
+    """Deterministic (id-seeded) stand-in tile for a missing file.
+
+    Smooth low-frequency background plus one shaded ellipse per annotation
+    bbox (class-keyed color) — the image content *determines* the targets,
+    so a model trained on synthetic data learns a real detection function
+    rather than memorizing noise. Used by the trained-weights drift
+    measurement (PERF.md) and anywhere image files aren't vendored."""
     rng = np.random.default_rng(image_id)
-    arr = rng.integers(0, 255, size=(height, width, 3), dtype=np.uint8)
-    return Image.fromarray(arr, mode="RGB")
+    xs = np.arange(width, dtype=np.float32)
+    ys = np.arange(height, dtype=np.float32)
+    base = (128.0 + 36.0 * np.sin(xs / 91.0 + rng.uniform(0, 6.3))[None, :]
+            + 28.0 * np.sin(ys / 67.0 + rng.uniform(0, 6.3))[:, None]
+            ).astype(np.float32)
+    # coarse 8x8-upsampled noise: 64x cheaper than per-pixel normal() and
+    # just as effective as background texture
+    noise = rng.normal(0.0, 5.0, size=(-(-height // 8), -(-width // 8))
+                       ).astype(np.float32)
+    base = base + np.kron(noise, np.ones((8, 8), np.float32)
+                          )[:height, :width]
+    arr = np.repeat(base[..., None], 3, axis=2)
+    for a in anns:
+        bx, by, bw, bh = (float(v) for v in a["bbox"])
+        x0, y0 = max(int(bx), 0), max(int(by), 0)
+        x1 = min(int(np.ceil(bx + bw)) + 1, width)
+        y1 = min(int(np.ceil(by + bh)) + 1, height)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        cx, cy = bx + bw / 2.0, by + bh / 2.0
+        rx, ry = max(bw / 2.0, 1.5), max(bh / 2.0, 1.5)
+        lx = (np.arange(x0, x1, dtype=np.float64) - cx) / rx
+        ly = (np.arange(y0, y1, dtype=np.float64) - cy) / ry
+        m = lx[None, :] ** 2 + ly[:, None] ** 2 <= 1.0
+        patch = arr[y0:y1, x0:x1]
+        patch[m] = _CLASS_SHADES[int(a.get("category_id", 1)) % 8]
+    return Image.fromarray(arr.clip(0, 255).astype(np.uint8), mode="RGB")
+
+
+def _synthetic_for(info, image_id: int, anns,
+                   synthetic_size: Optional[int]):
+    """Render the synthetic tile for one image record; returns
+    (image, annotations scaled to the rendered size)."""
+    w0, h0 = info.get("width", 1024), info.get("height", 1024)
+    w, h = synthetic_size or w0, synthetic_size or h0
+    if (w, h) != (w0, h0):  # keep annotations geometrically valid
+        sx, sy = w / w0, h / h0
+        anns = [dict(a, bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
+                              a["bbox"][2] * sx, a["bbox"][3] * sy])
+                for a in anns]
+    return _synthetic_image(image_id, w, h, anns), anns
 
 
 class CocoDetectionDataset:
@@ -59,15 +113,8 @@ class CocoDetectionDataset:
         if path is not None:
             img = Image.open(path)
         elif self.synthetic:
-            w0, h0 = info.get("width", 1024), info.get("height", 1024)
-            w = self.synthetic_size or w0
-            h = self.synthetic_size or h0
-            img = _synthetic_image(image_id, w, h)
-            if (w, h) != (w0, h0):
-                sx, sy = w / w0, h / h0
-                anns = [dict(a, bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
-                                      a["bbox"][2] * sx, a["bbox"][3] * sy])
-                        for a in anns]
+            img, anns = _synthetic_for(info, image_id, anns,
+                                       self.synthetic_size)
         else:
             raise FileNotFoundError(
                 f"image {info['file_name']} not found under {self.image_root}; "
@@ -104,16 +151,8 @@ class CocoDetectionDataset:
         if path is not None:
             img = Image.open(path)
         elif self.synthetic:
-            w0 = info.get("width", 1024)
-            h0 = info.get("height", 1024)
-            w = self.synthetic_size or w0
-            h = self.synthetic_size or h0
-            img = _synthetic_image(image_id, w, h)
-            if (w, h) != (w0, h0):  # keep annotations geometrically valid
-                sx, sy = w / w0, h / h0
-                anns = [dict(a, bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
-                                      a["bbox"][2] * sx, a["bbox"][3] * sy])
-                        for a in anns]
+            img, anns = _synthetic_for(info, image_id, anns,
+                                       self.synthetic_size)
         else:
             raise FileNotFoundError(
                 f"image {info['file_name']} not found under {self.image_root}; "

@@ -85,13 +85,29 @@ def hungarian_match(outputs: Dict[str, jnp.ndarray],
 def set_criterion(outputs: Dict[str, jnp.ndarray],
                   targets: Dict[str, jnp.ndarray],
                   cfg: MatchCriterionConfig,
-                  num_classes: int = 7) -> Dict[str, jnp.ndarray]:
+                  num_classes: int = 7,
+                  row_valid: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     """Compute all losses. Returns a dict with loss_ce/loss_bbox/loss_giou
     (weighted into 'loss') plus logging metrics (class_error,
-    cardinality_error, num_boxes)."""
+    cardinality_error, num_boxes).
+
+    row_valid: optional (B,) bool — batch rows that are real examples. The
+    eval loader pads the final batch by repeating the last example
+    (data/loader.py) to keep jit shapes fixed; the reference instead
+    evaluates the true smaller batch (inference.py:44-56). Masking padded
+    rows out of every loss sum/normalizer here makes the fixed-shape losses
+    exactly equal to evaluating the unpadded batch. None (training,
+    drop_last=True) means all rows are real."""
     logits = outputs["pred_logits"]                             # (B, Q, L)
     pboxes = outputs["pred_boxes"]
     b, q, num_logits = logits.shape
+
+    if row_valid is not None:
+        # Dead rows: no valid targets -> no matches, no box losses, and no
+        # contribution to num_boxes; CE / cardinality masked explicitly below.
+        targets = dict(targets)
+        targets["valid"] = jnp.logical_and(targets["valid"],
+                                           row_valid[:, None])
 
     match_cols, matched = hungarian_match(
         jax.lax.stop_gradient(outputs), targets, cfg)
@@ -108,10 +124,15 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
     # empty_weight: 1 for real classes, eos_coef for the no-object slot;
     # torch's weighted CE normalizes by the sum of selected weights.
     w = jnp.where(target_classes == num_logits - 1, cfg.eos_coef, 1.0)
+    if row_valid is not None:
+        w = w * row_valid[:, None]  # padded rows: 0 numerator AND denominator
     loss_ce = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-9)
 
-    # class_error: 100 - top1 acc of matched predictions over real classes
-    # (build_sam.py:109-111 via misc.accuracy; excludes the last logit).
+    # class_error: 100 - top1 acc of matched predictions over real classes.
+    # The reference slices off the no-object logit before the argmax:
+    # build_sam.py:111 is `accuracy(src_logits[idx][..., :-1],
+    # target_classes_o)` — so `[..., :-1]` here is exact parity (pinned by
+    # tests/test_criterion.py against a transcription of that line).
     pred_cls = jnp.argmax(logits[..., :-1], axis=-1)
     correct = jnp.logical_and(pred_cls == tgt_labels, matched)
     n_matched = jnp.maximum(jnp.sum(matched.astype(jnp.float32)), 1e-9)
@@ -133,7 +154,13 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
         (jnp.argmax(logits, axis=-1) != num_logits - 1).astype(jnp.float32),
         axis=1)
     tgt_lengths = jnp.sum(targets["valid"].astype(jnp.float32), axis=1)
-    cardinality_error = jnp.mean(jnp.abs(card_pred - tgt_lengths))
+    card_abs = jnp.abs(card_pred - tgt_lengths)
+    if row_valid is None:
+        cardinality_error = jnp.mean(card_abs)
+    else:
+        rv = row_valid.astype(jnp.float32)
+        cardinality_error = jnp.sum(card_abs * rv) / jnp.maximum(
+            jnp.sum(rv), 1.0)
 
     loss = (cfg.ce_loss_coef * loss_ce + cfg.bbox_loss_coef * loss_bbox
             + cfg.giou_loss_coef * loss_giou)
@@ -150,7 +177,8 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
     # (build_sam.py:195-208; inactive in the reference, functional here).
     for i, aux in enumerate(outputs.get("aux_outputs", [])):
         aux_losses = set_criterion(
-            {k: v for k, v in aux.items()}, targets, cfg, num_classes)
+            {k: v for k, v in aux.items()}, targets, cfg, num_classes,
+            row_valid=row_valid)
         out[f"loss_ce_{i}"] = aux_losses["loss_ce"]
         out[f"loss_bbox_{i}"] = aux_losses["loss_bbox"]
         out[f"loss_giou_{i}"] = aux_losses["loss_giou"]

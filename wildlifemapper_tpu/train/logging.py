@@ -78,16 +78,19 @@ def _histogram_summaries(tensors, prefix: str, bins: int = 64):
 
 
 def render_detections(image_norm, boxes, labels, scores):
-    """Denormalize an (H, W, 3) pipeline image and draw detections; shared
-    by the image-logging backends and the visualize CLI."""
+    """Draw detections on an (H, W, 3) pipeline image — ImageNet-normalized
+    f32 (denormalized here) or uint8 (`--device_normalize` ships raw bytes);
+    shared by the image-logging backends and the visualize CLI."""
     import numpy as np
     from PIL import Image
 
     from ..cli.visualize import draw_detections
     from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
-    arr = ((np.asarray(image_norm) * IMAGENET_STD + IMAGENET_MEAN)
-           * 255).clip(0, 255).astype("uint8")
+    arr = np.asarray(image_norm)
+    if arr.dtype != np.uint8:
+        arr = ((arr * IMAGENET_STD + IMAGENET_MEAN)
+               * 255).clip(0, 255).astype("uint8")
     return draw_detections(Image.fromarray(arr), boxes, labels, scores)
 
 
@@ -170,6 +173,19 @@ class WandbLogger(NoOpLogger):
 
     def log_epoch(self, epoch, stats):
         self._wandb.log({"epoch": epoch, **stats})
+
+    def log_images(self, epoch, images, detections=None):
+        """wandb.Image overlays (wandb_logger.py:169-270 equivalent)."""
+        import numpy as np
+
+        detections = detections or [None] * len(images)
+        rendered = []
+        for img, det in zip(images, detections):
+            det = det or {"boxes": [], "labels": [], "scores": []}
+            rendered.append(self._wandb.Image(np.asarray(render_detections(
+                img, det["boxes"], det["labels"], det["scores"]))))
+        if rendered:
+            self._wandb.log({"epoch": epoch, "detection_results": rendered})
 
     def log_histograms(self, epoch, tensors, prefix="params"):
         import numpy as np

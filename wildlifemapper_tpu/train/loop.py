@@ -130,7 +130,8 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
 
         val_stats = evaluate(eval_step, state.params, val_loader,
                              val_ds.index, cfg, epoch=epoch, print_fn=print_fn,
-                             max_batches=max_eval_batches)
+                             max_batches=max_eval_batches,
+                             logger_backend=logger_backend)
         stats = {**{f"train/{k}": v for k, v in epoch_stats.items()},
                  **{f"val/{k}": v for k, v in val_stats.items()}}
         if logger_backend:

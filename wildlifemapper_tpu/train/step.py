@@ -173,7 +173,11 @@ class StepBuilder:
             losses = set_criterion(
                 out, {"labels": batch["labels"], "boxes": batch["boxes"],
                       "valid": batch["valid"]},
-                cfg.criterion, num_classes=cfg.model.num_classes)
+                cfg.criterion, num_classes=cfg.model.num_classes,
+                # final eval batch is padded by repeating the last example;
+                # mask those rows so the losses equal the reference's
+                # true-smaller-batch evaluation (inference.py:44-56)
+                row_valid=batch.get("batch_valid"))
             return out, losses
 
         return eval_step
