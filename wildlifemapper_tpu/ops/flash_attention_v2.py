@@ -38,7 +38,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BQ = 512
-VMEM_LIMIT = 64 * 1024 * 1024
+# Mosaic scoped-VMEM budget. 64 MB (the Mosaic default) rejects the
+# full-canvas n=4096 program: the fwd f32 instance needs 81.3 MB and the
+# bf16 bwd 90.9 MB (compiler-reported), which used to surface as an opaque
+# tpu_compile_helper crash for ViT-B B<8 training and ViT-L/H flash+remat.
+# v5e has 128 MB VMEM/core; 110 MB compiles and runs all tiers (measured:
+# ViT-B B=4 full-canvas bf16 train 223.5 ms/step). Smaller programs are
+# unaffected — this is a ceiling, not an allocation.
+VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _use_interpret() -> bool:
