@@ -88,9 +88,50 @@ def map_vs(gt_dets, pred_dets):
     return s["AP"], s["AP50"]
 
 
+def loader_tiles(n):
+    """Val-split tiles rendered by the training loader itself (same
+    synthetic distribution a trained checkpoint saw), preprocessed
+    exactly as eval does (resize 768, normalize, 1024 canvas, no flip)."""
+    from wildlifemapper_tpu.config import DataConfig
+    from wildlifemapper_tpu.data.loader import build_dataset
+
+    cfg = DataConfig(synthetic=True, flip_prob=0.0)
+    ds = build_dataset("val", cfg)
+    n = min(n, len(ds))
+    exs = [ds.get(i) for i in range(n)]
+    tiles = np.stack([e["image"] for e in exs])
+    return tiles.astype(np.float32), n
+
+
+def load_trained(path, params):
+    """Pull the params subtree out of a trainer TrainState checkpoint."""
+    import orbax.checkpoint as ocp
+    raw = ocp.StandardCheckpointer().restore(path)
+    tree = raw["params"] if "opt_state" in raw else raw
+    return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype), params, tree)
+
+
 def main():
-    rng = np.random.default_rng(0)
-    tiles = synth_tiles(rng, N_IMGS)
+    import argparse
+    ap_p = argparse.ArgumentParser(description=__doc__)
+    ap_p.add_argument("--orbax_checkpoint", default=None,
+                      help="trained TrainState dir; default: random init")
+    ap_p.add_argument("--val_tiles", action="store_true",
+                      help="use loader-rendered val-split tiles instead of "
+                           "the script's own synthetic field")
+    ap_p.add_argument("--n_imgs", type=int, default=N_IMGS)
+    args = ap_p.parse_args()
+
+    global N_IMGS
+    if args.val_tiles:
+        tiles, N_IMGS = loader_tiles(args.n_imgs)
+    else:
+        N_IMGS = args.n_imgs
+        tiles = synth_tiles(np.random.default_rng(0), N_IMGS)
+
+    pad = (-len(tiles)) % B
+    if pad:  # fixed-shape batches; map_vs only reads the first N_IMGS
+        tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad, axis=0)])
 
     cfg32 = model_config("vit_b", dtype="float32")
     cfg16 = model_config("vit_b", dtype="bfloat16", use_flash_attention=True)
@@ -103,12 +144,23 @@ def main():
     m32 = WildlifeMapper(cfg32)
     params = jax.jit(m32.init)(jax.random.PRNGKey(0),
                                jnp.zeros((1, 1024, 1024, 3)))
+    if args.orbax_checkpoint:
+        params = load_trained(args.orbax_checkpoint, params)
+        print(f"loaded trained params from {args.orbax_checkpoint}",
+              flush=True)
+
+    configs = [("f32-self ", cfg32), ("bf16+flash", cfg16),
+               ("bf16+crop ", cfg_crop)]
+    if not args.orbax_checkpoint:
+        # crop_prologue is a different function; only meaningful vs random
+        # init as a worst-case illustration (trained checkpoints are never
+        # served in a mode they weren't trained in).
+        configs.append(("bf16+crop_prologue", cfg_cp))
 
     gt = run(cfg32, params, tiles)
     n_gt = int((gt["scores"] > 0.3).sum())
     print(f"pseudo-GT detections: {n_gt}", flush=True)
-    for tag, cfg in (("f32-self ", cfg32), ("bf16+flash", cfg16),
-                     ("bf16+crop ", cfg_crop), ("bf16+crop_prologue", cfg_cp)):
+    for tag, cfg in configs:
         dets = run(cfg, params, tiles)
         ap, ap50 = map_vs(gt, dets)
         print(f"{tag}: AP={ap:.4f} AP50={ap50:.4f}", flush=True)

@@ -95,6 +95,22 @@ def test_real_annotations_synthetic_images():
 
 
 @pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
+def test_synthetic_render_cache_is_exact():
+    """The raw-stage cache must not change emitted examples (flip happens
+    after the cache boundary, so compare with flip disabled)."""
+    cfg = PreprocessConfig(flip_prob=0.0)
+    cold = CocoDetectionDataset(str(REF_ANN), None, cfg,
+                                synthetic=True, synthetic_size=512)
+    warm = CocoDetectionDataset(str(REF_ANN), None, cfg,
+                                synthetic=True, synthetic_size=512)
+    warm.get(3)  # populate the cache
+    assert 3 in warm._synth_cache
+    a, b = cold.get(3), warm.get(3)  # warm hit vs uncached render
+    for k in a:
+        assert (a[k] == b[k]).all(), k
+
+
+@pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
 def test_loader_sharding_partitions_epoch():
     ds = CocoDetectionDataset(str(REF_ANN), None, PreprocessConfig(),
                               synthetic=True, synthetic_size=256)

@@ -16,6 +16,8 @@ def main(argv=None):
                    help="orbax checkpoint dir saved by our trainer")
     p.add_argument("--nms", action="store_true",
                    help="apply NMS 0.4 (the viz path's setting)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA weights from an orbax checkpoint")
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--config_json", default=None,
                    help="config.json written by the trainer beside its "
@@ -50,9 +52,20 @@ def main(argv=None):
         print(f"loaded {len(report['loaded'])} tensors "
               f"({len(report['missing'])} kept at init)")
     elif args.orbax_checkpoint:
+        # Trainer checkpoints hold the full TrainState (params/opt_state/
+        # step/ema_params), not bare params — restore raw and pull the
+        # params subtree (or ema_params with --use_ema), re-typed onto the
+        # freshly-initialized structure so a topology mismatch fails loudly.
         import orbax.checkpoint as ocp
-        params = ocp.StandardCheckpointer().restore(
-            args.orbax_checkpoint, params)
+        raw = ocp.StandardCheckpointer().restore(args.orbax_checkpoint)
+        if "opt_state" in raw:  # TrainState; bare flax params has only 'params'
+            tree = (raw["ema_params"] if args.use_ema
+                    and raw.get("ema_params") is not None else raw["params"])
+        else:
+            tree = raw
+        import jax.numpy as jnp
+        params = jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype),
+                              params, tree)
 
     stats = evaluate(builder.eval_step_fn(), params, loader, ds.index, cfg,
                      apply_nms=args.nms, max_batches=args.max_batches)

@@ -96,6 +96,12 @@ class CocoDetectionDataset:
         self.preprocess = preprocess
         self.synthetic = synthetic
         self.synthetic_size = synthetic_size
+        # Synthetic tiles are deterministic (id-seeded) and this host is
+        # 1-core, so re-rendering every epoch makes the loop host-bound
+        # (~4.4 s/it measured). Cache the post-resize raw example instead:
+        # 928 train imgs x 768^2 uint8 ~= 1.6 GB. Random augmentation
+        # (flip) happens after this stage, so caching is exact.
+        self._synth_cache: Optional[dict] = {} if synthetic else None
 
     def __len__(self):
         return len(self.index)
@@ -113,6 +119,9 @@ class CocoDetectionDataset:
         if path is not None:
             img = Image.open(path)
         elif self.synthetic:
+            cached = self._synth_cache.get(i)
+            if cached is not None:
+                return cached
             img, anns = _synthetic_for(info, image_id, anns,
                                        self.synthetic_size)
         else:
@@ -124,7 +133,10 @@ class CocoDetectionDataset:
             img, tgt["boxes"], self.preprocess.resize_size,
             self.preprocess.resize_size)
         arr = np.asarray(resized.convert("RGB"), dtype=np.uint8)
-        return arr, boxes, tgt["labels"], tgt["orig_size"], image_id
+        out = arr, boxes, tgt["labels"], tgt["orig_size"], image_id
+        if path is None and self.synthetic:
+            self._synth_cache[i] = out
+        return out
 
     def _get_mosaic(self, i: int, rng: np.random.Generator):
         from .mosaic import make_mosaic
@@ -151,8 +163,12 @@ class CocoDetectionDataset:
         if path is not None:
             img = Image.open(path)
         elif self.synthetic:
-            img, anns = _synthetic_for(info, image_id, anns,
-                                       self.synthetic_size)
+            # Route through the cached raw stage; finish_example applies
+            # the per-epoch randomness (flip) after the cache boundary.
+            from .transforms import finish_example
+            arr, boxes, labels, orig_size, image_id = self._raw(i)
+            return finish_example(arr, boxes, labels, image_id, orig_size,
+                                  arr.shape[:2], self.preprocess, rng)
         else:
             raise FileNotFoundError(
                 f"image {info['file_name']} not found under {self.image_root}; "
