@@ -46,25 +46,18 @@ class MultiheadAttention(nn.Module):
         k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(value)
 
-        use_flash = (self.use_flash and nq == nk
+        use_flash = (self.use_flash
                      and (self.dropout == 0.0 or deterministic))
         if use_flash:
-            from ..ops.flash_attention import flash_attention_rel_pos
+            # Packed kernel: consumes the projection GEMM outputs directly
+            # (a Dense output is already head-packed along C) — no XLA-side
+            # head transposes and no zero-bias square-grid hack like the
+            # old v1-flash route needed.
+            from ..ops.cross_attention import cross_attention_packed
 
-            grid = int(nk ** 0.5)
-            if grid * grid == nk:
-                qh = q.reshape(b, nq, self.num_heads, hd
-                               ).transpose(0, 2, 1, 3).reshape(-1, nq, hd)
-                kh = k.reshape(b, nk, self.num_heads, hd
-                               ).transpose(0, 2, 1, 3).reshape(-1, nk, hd)
-                vh = v.reshape(b, nk, self.num_heads, hd
-                               ).transpose(0, 2, 1, 3).reshape(-1, nk, hd)
-                zeros = jnp.zeros((qh.shape[0], nq, grid), qh.dtype)
-                out = flash_attention_rel_pos(qh, kh, vh, zeros, zeros,
-                                              hd ** -0.5, (grid, grid))
-                out = out.reshape(b, self.num_heads, nq, hd
-                                  ).transpose(0, 2, 1, 3).reshape(b, nq, self.dim)
-                return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+            out = cross_attention_packed(q, k, v, hd ** -0.5,
+                                         self.num_heads)
+            return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
         q = q.reshape(b, nq, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, nk, self.num_heads, hd).transpose(0, 2, 1, 3)

@@ -46,6 +46,8 @@ DEFAULT_BQ = 512
 # ViT-B B=4 full-canvas bf16 train 223.5 ms/step). Smaller programs are
 # unaffected — this is a ceiling, not an allocation.
 VMEM_LIMIT = 110 * 1024 * 1024
+# f32 score-tile cap for the backward q/k block-size choice (see _v2g_bwd).
+BWD_TILE_BUDGET = 2 * 1024 * 1024
 
 
 def _use_interpret() -> bool:
@@ -308,9 +310,10 @@ def _v2g_bwd(scale, num_heads, grid_hw, res, dout):
     hs_h, hs_w = num_heads * gh, num_heads * gw
     # Backward holds more residents (do + lse/delta + two output blocks),
     # so halve the score-tile budget relative to the forward: 64.71M > 64M
-    # at bq=384/B=8 was the measured overflow.
+    # at bq=384/B=8 was the measured overflow (historical, at the old 64 MB
+    # VMEM_LIMIT; BWD_TILE_BUDGET is module-level so sweeps can retune it).
     bq, _ = _block_sizes(n, gh, gw)
-    if bq > 128 and n * bq * 4 > 2 * 1024 * 1024:
+    if bq > 128 and n * bq * 4 > BWD_TILE_BUDGET:
         bq = max(128, bq // 2)
         while n % bq:
             bq //= 2
