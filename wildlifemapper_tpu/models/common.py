@@ -21,6 +21,22 @@ def gelu_exact(x):
     return nn.gelu(x, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense: same name/init/shape tree
+    (kernel lecun_normal, bias zeros) so checkpoints are interchangeable
+    between the fused and unfused MLP paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class MLPBlock(nn.Module):
     """Two-layer MLP: lin1 -> act -> lin2 (reference common.py:13-28).
 
@@ -28,20 +44,35 @@ class MLPBlock(nn.Module):
     identical, but the explicit (free) reshape stops XLA:TPU from lowering
     4D-input Denses as convolutions with layout-copy epilogues — measurable
     inside the full model where Pallas calls pin row-major layouts nearby.
+
+    use_fused routes through the Pallas fused kernel (ops/fused_mlp.py):
+    fc1 -> erf-GELU -> fc2 in one pass, weights VMEM-resident, the (R, F)
+    hidden tensor never touches HBM. Only valid for the default erf-GELU
+    activation; param tree is identical to the Dense path.
     """
 
     mlp_dim: int
     out_dim: int
     act: Callable = gelu_exact
     dtype: Dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         shape = x.shape
         x = x.reshape(-1, shape[-1])
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
-        x = self.act(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
+        if self.use_fused and self.act is gelu_exact:
+            from ..ops.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(self.mlp_dim, name="lin1")(shape[-1])
+            w2, b2 = _DenseParams(self.out_dim, name="lin2")(self.mlp_dim)
+            x = fused_mlp(x.astype(self.dtype), w1.astype(self.dtype),
+                          b1.astype(jnp.float32), w2.astype(self.dtype),
+                          b2.astype(jnp.float32))
+        else:
+            x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+            x = self.act(x)
+            x = nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
         return x.reshape(*shape[:-1], self.out_dim)
 
 

@@ -273,7 +273,9 @@ class Block(nn.Module):
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(mlp_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
-                     dtype=self.dtype, name="mlp")(y)
+                     dtype=self.dtype, name="mlp",
+                     use_fused=(self.use_flash
+                                and self.attn_impl == "packed"))(y)
         return x + y
 
 
