@@ -172,6 +172,38 @@ def test_full_loop_one_epoch(tmp_path):
     assert "train/loss" in stats2
 
 
+def test_nan_guard_exits_before_any_checkpoint(tmp_path, monkeypatch):
+    """The pipelined metrics fetch trips the NaN guard one step late
+    (train/loop.py); this pins the safety property that matters: training
+    exits via SystemExit before save_epoch ever sees post-NaN state — no
+    checkpoint file is written for the poisoned epoch."""
+    from wildlifemapper_tpu.train import loop as loop_mod
+    from wildlifemapper_tpu.train.loop import train
+
+    cfg = tiny_full_config()
+
+    orig = StepBuilder.jit_train_step
+
+    def poisoned(self):
+        step = orig(self)
+
+        def wrapper(state, batch, rng):
+            state2, metrics = step(state, batch, rng)
+            # poison from the very first step: with the one-step-delayed
+            # consume, the guard trips on step 1
+            metrics = dict(metrics, loss=metrics["loss"] * jnp.nan)
+            return state2, metrics
+        return wrapper
+
+    monkeypatch.setattr(StepBuilder, "jit_train_step", poisoned)
+    monkeypatch.setattr(loop_mod, "StepBuilder", StepBuilder)
+    with pytest.raises(SystemExit):
+        train(cfg, workdir=str(tmp_path), epochs=1, max_steps_per_epoch=3,
+              max_eval_batches=1, print_fn=lambda *a, **k: None)
+    assert not (tmp_path / "checkpoint_epoch_0").exists()
+    assert not (tmp_path / "best_checkpoint").exists()
+
+
 def test_eval_jit_hoisted_across_calls():
     """evaluate() must not retrace per epoch (reference: train.py:325 calls
     evaluate every epoch with no recompilation): the jit wrapper is memoized
