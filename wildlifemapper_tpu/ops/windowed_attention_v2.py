@@ -64,31 +64,39 @@ def _dot(a, b, dims, out_dtype=jnp.float32):
 
 
 def _expansion_mats(h: int, w: int, dtype):
-    """E (h, h*w), T (w, h*w): bias[q, kh*w+kw] = rel_h[q,kh] + rel_w[q,kw]
-    as two K=h / K=w matmuls (cost ~ h/64 of the QK pass each)."""
+    """Transposed expansion matrices keyed by key index: e_t (h*w, h) with
+    e_t[kn, r] = [kn//w == r], t_t (h*w, w) with t_t[kn, c] = [kn%w == c].
+    Appended to k so the decomposed rel-pos bias rides the QK matmul
+    (same augmented-operand trick as flash_attention_v2): one K=(d+gh+gw)
+    matmul replaces QK + two K=gh/gw expansion matmuls (11% MXU lane use
+    at gh=14) + two full (G, N, N) f32 add passes."""
     n = h * w
-    jh = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
-    rh = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
-    e = (jh // w == rh).astype(dtype)
-    jw = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
-    rw = jax.lax.broadcasted_iota(jnp.int32, (w, n), 0)
-    t = (jw % w == rw).astype(dtype)
-    return e, t
+    jr = jax.lax.broadcasted_iota(jnp.int32, (n, h), 0)
+    re = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
+    e_t = (jr // w == re).astype(dtype)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0)
+    ce = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    t_t = (jc % w == ce).astype(dtype)
+    return e_t, t_t
 
 
-def _head_scores(qkv, rel_h, rel_w, e, t, h_idx, *, c, d, scale):
-    """(G, N, N) f32 scores for one head from the packed blocks."""
-    gh, gw = e.shape[0], t.shape[0]
+def _head_scores(qkv, rel_h, rel_w, e_t, t_t, h_idx, *, c, d, scale):
+    """(G, N, N) f32 scores for one head via the fused-bias matmul."""
+    gh, gw = e_t.shape[1], t_t.shape[1]
+    g = qkv.shape[0]
+    in_dt = qkv.dtype
     q = qkv[:, :, d * h_idx:d * (h_idx + 1)]
     k = qkv[:, :, c + d * h_idx:c + d * (h_idx + 1)]
-    s = _dot(q, k, ((2,), (2,))) * scale                    # (G, N, N) f32
     rh = rel_h[:, :, SUBLANE_H * h_idx:SUBLANE_H * h_idx + gh]
     rw = rel_w[:, :, SUBLANE_H * h_idx:SUBLANE_H * h_idx + gw]
-    s = s + jnp.einsum("gnh,hk->gnk", rh, e,
-                       preferred_element_type=jnp.float32)
-    s = s + jnp.einsum("gnw,wk->gnk", rw, t,
-                       preferred_element_type=jnp.float32)
-    return s
+    q_aug = jnp.concatenate(
+        [(q.astype(jnp.float32) * scale).astype(in_dt),
+         rh.astype(in_dt), rw.astype(in_dt)], axis=-1)       # (G, N, aug)
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(e_t.astype(in_dt)[None], (g,) + e_t.shape),
+         jnp.broadcast_to(t_t.astype(in_dt)[None], (g,) + t_t.shape)],
+        axis=-1)                                             # (G, N, aug)
+    return _dot(q_aug, k_aug, ((2,), (2,)))                  # (G, N, N) f32
 
 
 def _fwd_kernel(qkv_ref, relh_ref, relw_ref, o_ref, *, scale: float,
@@ -148,10 +156,10 @@ def _bwd_kernel(qkv_ref, relh_ref, relw_ref, do_ref,
         dvs.append(jnp.einsum("gnk,gnd->gkd", p_lo, do_h,
                               preferred_element_type=jnp.float32
                               ).astype(in_dt))
-        # drel (packed layout): drel_h[g, q, r] = sum_k ds[g, q, k] E[r, k]
-        drh = jnp.einsum("gnk,hk->gnh", ds_lo, e.astype(in_dt),
+        # drel (packed layout): drel_h[g, q, r] = sum_k ds[g, q, k] e_t[k, r]
+        drh = jnp.einsum("gnk,kh->gnh", ds_lo, e.astype(in_dt),
                          preferred_element_type=jnp.float32)
-        drw = jnp.einsum("gnk,wk->gnw", ds_lo, t.astype(in_dt),
+        drw = jnp.einsum("gnk,kw->gnw", ds_lo, t.astype(in_dt),
                          preferred_element_type=jnp.float32)
         drhs.append(jnp.pad(drh, ((0, 0), (0, 0), (0, SUBLANE_H - gh))))
         drws.append(jnp.pad(drw, ((0, 0), (0, 0), (0, SUBLANE_H - gw))))
