@@ -38,6 +38,11 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--clip_max_norm", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--train_encoder", action="store_true",
+                   help="unfreeze the ViT encoder. The reference hardcodes "
+                        "freezing (build_sam.py) because it always starts "
+                        "from pretrained SAM; from-scratch runs MUST set "
+                        "this or the encoder stays random")
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 compute (the reference's flag is inert; ours works)")
     p.add_argument("--warmup_steps", type=int, default=0,
@@ -156,6 +161,7 @@ def config_from_args(args) -> Config:
             lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
             lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,
             seed=args.seed, use_amp=args.use_amp,
+            freeze_encoder=not getattr(args, "train_encoder", False),
             warmup_steps=args.warmup_steps, ema_decay=args.ema_decay,
             log_histograms_every=args.log_histograms_every),
         eval=EvalConfig(confidence_threshold=args.confidence_threshold,

@@ -17,6 +17,7 @@ class CocoIndex:
     def __init__(self, ann_file: str):
         with open(ann_file) as f:
             d = json.load(f)
+        self.ann_file = ann_file
         self.dataset = d
         self.images: List[dict] = d.get("images", [])
         self.categories: List[dict] = d.get("categories", [])

@@ -14,6 +14,7 @@ so the full pipeline stays exercisable — and *trainable* — end-to-end.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -100,8 +101,14 @@ class CocoDetectionDataset:
         # 1-core, so re-rendering every epoch makes the loop host-bound
         # (~4.4 s/it measured). Cache the post-resize raw example instead:
         # 928 train imgs x 768^2 uint8 ~= 1.6 GB. Random augmentation
-        # (flip) happens after this stage, so caching is exact.
+        # (flip) happens after this stage, so caching is exact. A second,
+        # disk-backed layer (WM_SYNTH_CACHE env; set to "0" to disable)
+        # survives process restarts — first-epoch rendering costs ~45 min
+        # of single-core time otherwise.
         self._synth_cache: Optional[dict] = {} if synthetic else None
+        disk = os.environ.get("WM_SYNTH_CACHE", "/tmp/wm_synth_cache")
+        self._synth_disk = (disk if synthetic and disk not in ("", "0")
+                            else None)
 
     def __len__(self):
         return len(self.index)
@@ -120,6 +127,10 @@ class CocoDetectionDataset:
             img = Image.open(path)
         elif self.synthetic:
             cached = self._synth_cache.get(i)
+            if cached is None:
+                cached = self._disk_load(image_id)
+                if cached is not None:
+                    self._synth_cache[i] = cached
             if cached is not None:
                 return cached
             img, anns = _synthetic_for(info, image_id, anns,
@@ -136,7 +147,39 @@ class CocoDetectionDataset:
         out = arr, boxes, tgt["labels"], tgt["orig_size"], image_id
         if path is None and self.synthetic:
             self._synth_cache[i] = out
+            self._disk_save(image_id, out)
         return out
+
+    def _disk_key(self, image_id: int) -> Optional[str]:
+        if self._synth_disk is None:
+            return None
+        tag = (f"{os.path.basename(self.index.ann_file)}"
+               f"_{self.preprocess.resize_size}_{self.synthetic_size}")
+        return f"{self._synth_disk}/{tag}_{image_id}.npz"
+
+    def _disk_load(self, image_id: int):
+        key = self._disk_key(image_id)
+        if key is None or not os.path.exists(key):
+            return None
+        try:
+            z = np.load(key, allow_pickle=False)
+            return (z["arr"], z["boxes"], z["labels"], z["orig_size"],
+                    image_id)
+        except Exception:
+            return None  # torn/corrupt entry: fall through to re-render
+
+    def _disk_save(self, image_id: int, out):
+        key = self._disk_key(image_id)
+        if key is None:
+            return
+        try:
+            os.makedirs(self._synth_disk, exist_ok=True)
+            tmp = f"{key}.tmp.{os.getpid()}"
+            np.savez(tmp, arr=out[0], boxes=out[1], labels=out[2],
+                     orig_size=out[3])
+            os.replace(tmp, key)  # atomic vs concurrent readers
+        except Exception:
+            pass  # cache is best-effort
 
     def _get_mosaic(self, i: int, rng: np.random.Generator):
         from .mosaic import make_mosaic
