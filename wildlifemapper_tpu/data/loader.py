@@ -174,7 +174,10 @@ class CocoDetectionDataset:
             return
         try:
             os.makedirs(self._synth_disk, exist_ok=True)
-            tmp = f"{key}.tmp.{os.getpid()}"
+            # tmp must already end in .npz: np.savez APPENDS the suffix to
+            # names lacking it, which would orphan the file and make the
+            # os.replace below a silent (swallowed) FileNotFoundError.
+            tmp = f"{key}.{os.getpid()}.tmp.npz"
             np.savez(tmp, arr=out[0], boxes=out[1], labels=out[2],
                      orig_size=out[3])
             os.replace(tmp, key)  # atomic vs concurrent readers
