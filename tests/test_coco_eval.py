@@ -124,6 +124,50 @@ def test_crowd_gt_is_ignored():
     assert stats["AP"] == -1.0
 
 
+def test_crowd_iou_uses_det_area_and_ignores_match():
+    """pycocotools semantics: IoU against a crowd GT is inter/area(det)
+    (not inter/union), and a det matched to crowd is IGNORED, never a
+    false positive. Here the spurious det covers only a corner of the big
+    crowd region: standard IoU would be 100/10000 = 0.01 (no match -> FP
+    -> AP 0.835), crowd IoU is 100/100 = 1.0 (match -> ignored -> AP 1)."""
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1),
+                        _ann(100, 100, 100, 100, 1, crowd=1)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10], [100, 100, 110, 110]],
+                        [0.9, 0.8], [1, 1])})
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP"] == pytest.approx(1.0)
+
+
+def test_unmatched_det_outside_area_range_is_ignored():
+    """pycocotools ignores (does not count as FP) an unmatched detection
+    whose area falls outside the evaluated range. The 9x9=81 px spurious
+    det is outside 'medium' [32^2, 96^2), so AP_medium stays 1.0; in the
+    'all' range it is a genuine FP after full recall (AP still 1.0), and
+    with reversed scores it halves AP_all but not AP_medium."""
+    gt = FakeIndex({1: [_ann(100, 100, 50, 50, 1)]})       # medium GT
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[100, 100, 150, 150], [0, 0, 9, 9]],
+                        [0.8, 0.9], [1, 1])})              # FP scored higher
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP_medium"] == pytest.approx(1.0)
+    assert stats["AP"] == pytest.approx(0.5)
+
+
+def test_second_det_on_same_gt_is_fp():
+    """A GT matches at most one det (highest score wins); the duplicate is
+    an FP after full recall, so AP stays 1.0 but AP would drop if it
+    outscored the true det's recall point — pinned via reversed order."""
+    gt = FakeIndex({1: [_ann(0, 0, 10, 10, 1)]})
+    ev = CocoEvaluator(gt)
+    ev.update({1: _pred([[0, 0, 10, 10], [0, 0, 10, 10]],
+                        [0.9, 0.8], [1, 1])})
+    ev.accumulate()
+    assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+
 def test_maxdets_1_vs_10():
     anns = [_ann(i * 20, 0, 10, 10, 1) for i in range(5)]
     gt = FakeIndex({1: anns})
