@@ -1,0 +1,126 @@
+"""One-shot evidence chain for the north-star conjunction (BASELINE.json):
+a single named config that (a) serves full-canvas-trained weights at
+>=0.99 mAP parity with the parity path and (b) sustains >=125 tiles/sec
+(5x the documented A100 estimate).
+
+The named config is the **checkpoint-compat crop tier**
+(`content_size=768`, bf16+flash, packed kernels): same weights, same
+per-token function as full canvas — only the zero-pad ring is dropped.
+
+Given a trained TrainState checkpoint (train with
+`cli/train.py --synthetic_data --use_amp --train_encoder ...` or real
+imagery), this script measures, on the current devices:
+
+  1. drift-as-mAP: f32 full-canvas detections as pseudo-GT, the crop
+     tier's detections scored against them with the repo's COCOeval
+     (loader-rendered val tiles);
+  2. AP vs real annotations for both the parity tier and the crop tier;
+  3. crop-tier throughput at B=16.
+
+and prints one JSON verdict line. Reference for the serving semantics:
+/root/reference/wildlifemapper/inference.py:80-88.
+"""
+import argparse
+import dataclasses
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+
+
+def throughput(batch=16, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from wildlifemapper_tpu.config import model_config
+    from wildlifemapper_tpu.eval.postprocess import postprocess
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True,
+                       content_size=768)
+    model = WildlifeMapper(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3), jnp.float32))
+
+    @jax.jit
+    def pipeline(p, x, orig):
+        return postprocess(model.apply(p, x), orig, 0.05)
+
+    rng = np.random.default_rng(0)
+    x = np.zeros((batch, 1024, 1024, 3), np.float32)
+    x[:, :768, :768, :] = rng.normal(size=(batch, 768, 768, 3))
+    x = jnp.asarray(x)
+    orig = jnp.full((batch, 2), 1024, jnp.int32)
+    jax.device_get(pipeline(params, x, orig))
+    t0 = time.time()
+    for _ in range(iters):
+        out = pipeline(params, x, orig)
+    jax.device_get(out)
+    return batch / ((time.time() - t0) / iters)
+
+
+def eval_ap(ckpt, content_size=None, batch_size=8):
+    """AP vs real annotations via the evaluate CLI (synthetic val tiles)."""
+    args = ["--synthetic_data", "--use_amp", "--orbax_checkpoint", ckpt,
+            "--batch_size", str(batch_size)]
+    if content_size:
+        args += ["--content_size", str(content_size)]
+    from wildlifemapper_tpu.cli import evaluate as eval_cli
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_cli.main(args)
+    for line in buf.getvalue().splitlines():
+        if line.startswith("coco/AP:"):
+            return float(line.split(":")[1])
+    raise RuntimeError("no AP in evaluate output:\n" + buf.getvalue())
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--orbax_checkpoint", required=True)
+    ap.add_argument("--n_imgs", type=int, default=64)
+    args = ap.parse_args()
+
+    # 1. drift-as-mAP with trained weights (subprocess: drift_map builds
+    # several jit programs; isolating keeps this process lean)
+    drift = subprocess.run(
+        [sys.executable, __file__.replace("conjunction.py", "drift_map.py"),
+         "--orbax_checkpoint", args.orbax_checkpoint, "--val_tiles",
+         "--n_imgs", str(args.n_imgs)],
+        capture_output=True, text=True, timeout=3600)
+    drift_ap = {}
+    for line in drift.stdout.splitlines():
+        if ": AP=" in line:
+            tag, rest = line.split(": AP=")
+            drift_ap[tag.strip()] = float(rest.split()[0])
+    print(drift.stdout)
+
+    # 2. AP vs annotations, both tiers
+    ap_full = eval_ap(args.orbax_checkpoint)
+    ap_crop = eval_ap(args.orbax_checkpoint, content_size=768)
+
+    # 3. crop-tier throughput
+    tps = throughput()
+
+    crop_drift = drift_ap.get("bf16+crop", float("nan"))
+    verdict = {
+        "config": "checkpoint-compat crop (content_size=768, bf16+flash)",
+        "drift_ap_vs_f32_full_canvas": crop_drift,
+        "parity_tier_drift_ap": drift_ap.get("bf16+flash", float("nan")),
+        "ap_vs_gt_full_canvas": ap_full,
+        "ap_vs_gt_crop": ap_crop,
+        "tiles_per_sec_b16": round(tps, 1),
+        "meets_parity": bool(crop_drift >= 0.99),
+        "meets_5x": bool(tps >= 125.0),
+    }
+    print(json.dumps(verdict))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,10 +105,8 @@ def loader_tiles(n):
 
 def load_trained(path, params):
     """Pull the params subtree out of a trainer TrainState checkpoint."""
-    import orbax.checkpoint as ocp
-    raw = ocp.StandardCheckpointer().restore(path)
-    tree = raw["params"] if "opt_state" in raw else raw
-    return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype), params, tree)
+    from wildlifemapper_tpu.train.checkpoints import CheckpointManager
+    return CheckpointManager.load_params(path, params)
 
 
 def main():

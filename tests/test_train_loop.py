@@ -225,6 +225,30 @@ def test_eval_jit_hoisted_across_calls():
     assert len(traces) == 1
 
 
+def test_load_params_from_trainstate_and_ema(tmp_path):
+    """CheckpointManager.load_params pulls the params subtree (or
+    ema_params with use_ema) out of a saved TrainState, re-typed onto the
+    target structure; bare-params checkpoints load too."""
+    from wildlifemapper_tpu.train.checkpoints import CheckpointManager
+
+    params = {"params": {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}}
+    state = {"params": jax.tree.map(lambda x: x * 2, params),
+             "ema_params": jax.tree.map(lambda x: x * 3, params),
+             "opt_state": {"count": jnp.zeros(())},
+             "step": jnp.asarray(7)}
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("state", state)
+    ckpt.save("bare", params)
+
+    got = CheckpointManager.load_params(str(tmp_path / "state"), params)
+    assert float(got["params"]["w"][0, 0]) == 2.0
+    got_ema = CheckpointManager.load_params(str(tmp_path / "state"), params,
+                                            use_ema=True)
+    assert float(got_ema["params"]["w"][0, 0]) == 3.0
+    got_bare = CheckpointManager.load_params(str(tmp_path / "bare"), params)
+    assert float(got_bare["params"]["w"][0, 0]) == 1.0
+
+
 def test_config_json_saved_with_checkpoints(tmp_path, rng):
     """train() persists the exact Config beside checkpoints; the JSON
     round-trips back to an equal Config (from-scratch runs are

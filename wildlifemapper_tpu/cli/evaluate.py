@@ -52,20 +52,9 @@ def main(argv=None):
         print(f"loaded {len(report['loaded'])} tensors "
               f"({len(report['missing'])} kept at init)")
     elif args.orbax_checkpoint:
-        # Trainer checkpoints hold the full TrainState (params/opt_state/
-        # step/ema_params), not bare params — restore raw and pull the
-        # params subtree (or ema_params with --use_ema), re-typed onto the
-        # freshly-initialized structure so a topology mismatch fails loudly.
-        import orbax.checkpoint as ocp
-        raw = ocp.StandardCheckpointer().restore(args.orbax_checkpoint)
-        if "opt_state" in raw:  # TrainState; bare flax params has only 'params'
-            tree = (raw["ema_params"] if args.use_ema
-                    and raw.get("ema_params") is not None else raw["params"])
-        else:
-            tree = raw
-        import jax.numpy as jnp
-        params = jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype),
-                              params, tree)
+        from ..train.checkpoints import CheckpointManager
+        params = CheckpointManager.load_params(args.orbax_checkpoint,
+                                               params, use_ema=args.use_ema)
 
     stats = evaluate(builder.eval_step_fn(), params, loader, ds.index, cfg,
                      apply_nms=args.nms, max_batches=args.max_batches)

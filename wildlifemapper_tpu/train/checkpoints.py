@@ -50,6 +50,23 @@ class CheckpointManager:
         if is_best:
             self.save("best_checkpoint", state_tree)
 
+    @staticmethod
+    def load_params(path: str, params: Any, use_ema: bool = False) -> Any:
+        """Pull inference params out of a checkpoint directory that holds
+        either a full TrainState (params/opt_state/step/ema_params — what
+        the trainer saves) or bare flax params. Values are re-typed onto
+        the freshly-initialized `params` structure so a topology mismatch
+        fails loudly instead of silently mixing trees."""
+        raw = ocp.StandardCheckpointer().restore(path)
+        if "opt_state" in raw:  # TrainState; bare params has only 'params'
+            tree = (raw["ema_params"] if use_ema
+                    and raw.get("ema_params") is not None else raw["params"])
+        else:
+            tree = raw
+        import jax.numpy as jnp
+        return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype),
+                            params, tree)
+
     def latest_epoch(self) -> Optional[int]:
         epochs = []
         for p in self.directory.glob("checkpoint_epoch_*"):
