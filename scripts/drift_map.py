@@ -110,6 +110,7 @@ def load_trained(path, params):
 
 
 def main():
+    global N_IMGS
     import argparse
     ap_p = argparse.ArgumentParser(description=__doc__)
     ap_p.add_argument("--orbax_checkpoint", default=None,
@@ -120,7 +121,6 @@ def main():
     ap_p.add_argument("--n_imgs", type=int, default=N_IMGS)
     args = ap_p.parse_args()
 
-    global N_IMGS
     if args.val_tiles:
         tiles, N_IMGS = loader_tiles(args.n_imgs)
     else:
