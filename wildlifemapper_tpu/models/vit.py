@@ -113,9 +113,22 @@ class RelPosAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
 
-        # rank-2 GEMM view (see MLPBlock docstring)
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
-                       dtype=self.dtype, name="qkv")(x.reshape(-1, self.dim))
+        packed_path = (self.use_flash and self.use_rel_pos
+                       and self.attn_impl == "packed")
+        qkv_dense = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                             dtype=self.dtype, name="qkv")
+        if packed_path:
+            # rank-3 GEMM: the packed kernels consume (B, N, 3C) directly,
+            # and for windowed blocks N=196 is not sublane-aligned — a
+            # rank-2 view would force a (B*196, 3C) <-> (B, 196, 3C)
+            # retile copy on both sides of the kernel (~0.96 ms/block at
+            # B=16, trace r3). XLA lowers a 3-D Dense as a plain batched
+            # dot, so the conv-epilogue concern from the MLPBlock
+            # docstring does not apply here.
+            qkv = qkv_dense(x.reshape(b, h * w, self.dim))
+        else:
+            # rank-2 GEMM view (see MLPBlock docstring)
+            qkv = qkv_dense(x.reshape(-1, self.dim))
 
         rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
@@ -131,16 +144,15 @@ class RelPosAttention(nn.Module):
                 off = ts[1] - self.input_size[1]
                 rel_pos_w = rel_pos_w[off:off + 2 * self.input_size[1] - 1]
 
-        if (self.use_flash and self.use_rel_pos
-                and self.attn_impl == "packed"):
+        if packed_path:
             # v2 fused paths: the kernels consume the qkv GEMM output as-is
             # and split heads in VMEM — no (3, B*heads, N, hd) transpose
             # ever exists (round-1 trace: ~1.9 ms/layer of copies at B=16).
             packed = self._packed_windowed if h * w < GLOBAL_N_THRESHOLD \
                 else self._packed_global
-            out = packed(qkv.reshape(b, h * w, 3 * self.dim),
-                         rel_pos_h, rel_pos_w, (h, w), head_dim, scale)
-            out = out.reshape(b * h * w, self.dim)
+            out = packed(qkv, rel_pos_h, rel_pos_w, (h, w), head_dim, scale)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return out.reshape(b, h, w, self.dim)
         else:
             # (B, N, 3, heads, hd) -> (3, B*heads, N, hd)
             qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
