@@ -225,6 +225,29 @@ def test_eval_jit_hoisted_across_calls():
     assert len(traces) == 1
 
 
+def test_eval_every_skips_intermediate_epochs(tmp_path, monkeypatch):
+    """eval_every=2 over 2 epochs: epoch 0 skips evaluation, epoch 1 (the
+    final epoch) always evaluates."""
+    import wildlifemapper_tpu.train.loop as loop_mod
+
+    calls = []
+    real_eval = loop_mod.evaluate
+
+    def spy(*a, **k):
+        calls.append(k.get("epoch"))
+        return real_eval(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "evaluate", spy)
+    cfg = tiny_full_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs=2, eval_every=2))
+    stats = loop_mod.train(cfg, workdir=str(tmp_path), epochs=2,
+                           max_steps_per_epoch=2, max_eval_batches=2,
+                           print_fn=lambda *a, **k: None)
+    assert calls == [1]
+    assert "val/coco/AP" in stats
+
+
 def test_load_params_from_trainstate_and_ema(tmp_path):
     """CheckpointManager.load_params pulls the params subtree (or
     ema_params with use_ema) out of a saved TrainState, re-typed onto the

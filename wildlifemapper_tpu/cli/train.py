@@ -38,6 +38,9 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--clip_max_norm", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="run val evaluation every N epochs (always on the "
+                        "final epoch); the reference evaluates every epoch")
     p.add_argument("--train_encoder", action="store_true",
                    help="unfreeze the ViT encoder. The reference hardcodes "
                         "freezing (build_sam.py) because it always starts "
@@ -162,6 +165,7 @@ def config_from_args(args) -> Config:
             lr_drop=args.lr_drop, clip_max_norm=args.clip_max_norm,
             seed=args.seed, use_amp=args.use_amp,
             freeze_encoder=not getattr(args, "train_encoder", False),
+            eval_every=getattr(args, "eval_every", 1),
             warmup_steps=args.warmup_steps, ema_decay=args.ema_decay,
             log_histograms_every=args.log_histograms_every),
         eval=EvalConfig(confidence_threshold=args.confidence_threshold,

@@ -226,6 +226,10 @@ class TrainConfig:
     clip_max_norm: float = 0.1
     seed: int = 42
     checkpoint_every: int = 40
+    # Run val evaluation every N epochs (always on the final epoch). The
+    # reference evaluates every epoch (train.py:325); >1 trades per-epoch
+    # val metrics for wall-clock on long runs (COCOeval is host-bound).
+    eval_every: int = 1
     # Freeze policy (reference: network.py:19-34): inside the encoder only
     # hfc_embed / hfc_attn / patch_embed train; decoder fully trains;
     # the dense-PE gaussian matrix is a buffer (never trained).

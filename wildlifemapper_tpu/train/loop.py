@@ -128,10 +128,16 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
         print_fn(f"Epoch {epoch} done in {time.time()-t0:.1f}s  "
                  f"loss={epoch_loss:.4f}")
 
-        val_stats = evaluate(eval_step, state.params, val_loader,
-                             val_ds.index, cfg, epoch=epoch, print_fn=print_fn,
-                             max_batches=max_eval_batches,
-                             logger_backend=logger_backend)
+        run_eval = (cfg.train.eval_every <= 1
+                    or (epoch + 1) % cfg.train.eval_every == 0
+                    or epoch == epochs - 1)
+        val_stats = {}
+        if run_eval:
+            val_stats = evaluate(eval_step, state.params, val_loader,
+                                 val_ds.index, cfg, epoch=epoch,
+                                 print_fn=print_fn,
+                                 max_batches=max_eval_batches,
+                                 logger_backend=logger_backend)
         stats = {**{f"train/{k}": v for k, v in epoch_stats.items()},
                  **{f"val/{k}": v for k, v in val_stats.items()}}
         if logger_backend:
