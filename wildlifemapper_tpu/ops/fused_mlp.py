@@ -22,7 +22,7 @@ the kernel's win is the serving tiers.
 
 from __future__ import annotations
 
-import functools
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -117,28 +117,61 @@ def fused_mlp(x, w1, b1, w2, b2):
     )(x, w1, b1.reshape(1, f), w2, b2.reshape(1, d))
 
 
+def _bwd_dh_kernel(x_ref, w1_ref, b1_ref, da_ref, a_ref, dh_ref):
+    """Recompute h = x@w1+b1 in VMEM and emit a = gelu(h) plus
+    dh = da * gelu'(h) — the only elementwise stage of the backward, fused
+    with the recompute GEMM so h never exists in HBM. gelu'(h) =
+    0.5*(1+erf(h/sqrt2)) + h*pdf(h)."""
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    cdf = 0.5 * (1.0 + _erf_f32(h * (2.0 ** -0.5)))
+    a_ref[...] = (h * cdf).astype(a_ref.dtype)
+    pdf = jnp.exp(-0.5 * h * h) * jnp.float32(1.0 / np.sqrt(2.0 * np.pi))
+    dh_ref[...] = (da_ref[...].astype(jnp.float32)
+                   * (cdf + h * pdf)).astype(dh_ref.dtype)
+
+
 def _mlp_fwd(x, w1, b1, w2, b2):
     return fused_mlp(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
 
 
 def _mlp_bwd(res, g):
-    """Plain-jnp recompute backward (reference math; f32 accumulation to
-    match what XLA emits for the unfused path's grads)."""
+    """Backward with the recompute+elementwise stage in a Pallas kernel
+    (h stays VMEM-resident); the four gradient GEMMs stay in XLA where
+    they fuse with neighbors. Same GEMM count as the unfused path."""
     x, w1, b1, w2, b2 = res
-    xf = x.astype(jnp.float32)
-    h = xf @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
-    a = _erf_gelu_f32(h)
-    gf = g.astype(jnp.float32)
-    da = gf @ w2.astype(jnp.float32).T
-    # d/dh erf-gelu = 0.5*(1+erf(h/sqrt2)) + h * pdf(h)
-    inv_sqrt2 = 2.0 ** -0.5
-    pdf = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
-    dh = da * (0.5 * (1.0 + jax.lax.erf(h * inv_sqrt2)) + h * pdf)
-    dx = (dh @ w1.astype(jnp.float32).T).astype(x.dtype)
-    dw1 = (xf.T @ dh).astype(w1.dtype)
-    db1 = jnp.sum(dh, axis=0).astype(b1.dtype)
-    dw2 = (a.T @ gf).astype(w2.dtype)
-    db2 = jnp.sum(gf, axis=0).astype(b2.dtype)
+    r, d = x.shape
+    f = w1.shape[1]
+    da = (g @ w2.T.astype(g.dtype)).astype(x.dtype)          # (R, F)
+    bm = _rows_block(r)
+    a, dh = pl.pallas_call(
+        _bwd_dh_kernel,
+        grid=(r // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),          # resident
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((bm, f), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, f), lambda i: (i, 0)),
+            pl.BlockSpec((bm, f), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, f), x.dtype),
+            jax.ShapeDtypeStruct((r, f), x.dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_use_interpret(),
+    )(x, w1, b1.reshape(1, f).astype(jnp.float32), da)
+    dh32 = dh.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dx = (dh @ w1.T.astype(dh.dtype)).astype(x.dtype)
+    dw1 = (x.astype(jnp.float32).T @ dh32).astype(w1.dtype)
+    db1 = jnp.sum(dh32, axis=0).astype(b1.dtype)
+    dw2 = (a.astype(jnp.float32).T @ g32).astype(w2.dtype)
+    db2 = jnp.sum(g32, axis=0).astype(b2.dtype)
     return dx, dw1, db1, dw2, db2
 
 
