@@ -46,7 +46,11 @@ DEFAULT_BQ = 512
 # ViT-B B=4 full-canvas bf16 train 223.5 ms/step). Smaller programs are
 # unaffected — this is a ceiling, not an allocation.
 VMEM_LIMIT = 110 * 1024 * 1024
-# f32 score-tile cap for the backward q/k block-size choice (see _v2g_bwd).
+# f32 score-tile caps for the q-block-size choice (fwd: _block_sizes,
+# bwd: _v2g_bwd). Module-level so hardware sweeps can retune them under
+# the raised VMEM ceiling (4 MB -> bq=256 at n=4096; larger tiles mean
+# fatter MXU row blocks for the augmented QK matmul).
+FWD_TILE_BUDGET = 4 * 1024 * 1024
 BWD_TILE_BUDGET = 2 * 1024 * 1024
 
 
@@ -144,11 +148,11 @@ def pack_rel_global(rel_h, rel_w, num_heads: int, grid_hw: Tuple[int, int]):
 def _block_sizes(n: int, gh: int, gw: int) -> Tuple[int, int]:
     # bq: the largest 128-multiple divisor of n (lane dim of the transposed
     # rel_h block must be 128-aligned) whose full-width f32 score tile
-    # (bq, n) stays <= 4 MB — the per-head score/prob buffers are what the
-    # Mosaic stack allocator multiplies across the unrolled head loop, and
-    # larger tiles blew the scoped-VMEM budget at ViT-B shapes
-    # (2304 -> 384, 4096 -> 256).
-    budget = 4 * 1024 * 1024
+    # (bq, n) stays <= FWD_TILE_BUDGET — the per-head score/prob buffers
+    # are what the Mosaic stack allocator multiplies across the unrolled
+    # head loop; larger tiles blew the old 64 MB scoped-VMEM budget at
+    # ViT-B shapes (2304 -> 384, 4096 -> 256).
+    budget = FWD_TILE_BUDGET
     bq = None
     for cand in range(128, n + 1, 128):
         if n % cand == 0 and cand * n * 4 <= budget:
