@@ -75,7 +75,10 @@ def test_preprocess_example_shapes():
 def test_pad_targets_truncates():
     boxes = np.random.default_rng(0).uniform(size=(100, 4)).astype(np.float32)
     labels = np.ones(100, dtype=np.int32)
-    b, l, v = pad_targets(boxes, labels, 64)
+    with pytest.raises(ValueError, match="exceed"):  # lossy unless opted in
+        pad_targets(boxes, labels, 64)
+    with pytest.warns(RuntimeWarning, match="truncating"):
+        b, l, v = pad_targets(boxes, labels, 64, allow_truncate=True)
     assert b.shape == (64, 4) and v.sum() == 64
 
 
@@ -127,16 +130,21 @@ def test_loader_sharding_partitions_epoch():
 
 
 def test_pad_targets_no_silent_loss_on_bundled_dataset():
-    """The default max_targets (128) must cover the densest bundled train
-    image (id 633: 118 boxes, measured from coco_annotations/train.json);
-    truncation, if it ever happens, must warn (the reference trains on all
-    targets, dataloader_coco.py:253-270)."""
+    """DataConfig.max_targets=None (the default) must auto-size the cap from
+    the annotation file — the densest bundled train image (id 633) has 118
+    boxes and the reference trains on ragged, UNTRUNCATED targets
+    (dataloader_coco.py:253-270). An explicit undersized cap must ERROR
+    rather than silently drop GT; truncation is opt-in and warns."""
     import collections
     import json
     import warnings
 
     from wildlifemapper_tpu.config import DataConfig, MatchCriterionConfig
-    from wildlifemapper_tpu.data.transforms import pad_targets
+    from wildlifemapper_tpu.data.loader import CocoDetectionDataset
+    from wildlifemapper_tpu.data.transforms import (PreprocessConfig,
+                                                    pad_targets)
+
+    assert DataConfig.max_targets is None  # auto-size by default
 
     cfg_path = Path(DataConfig.coco_path) / "train.json"
     if not cfg_path.exists():
@@ -144,19 +152,35 @@ def test_pad_targets_no_silent_loss_on_bundled_dataset():
     anns = json.loads(cfg_path.read_text())["annotations"]
     densest = max(collections.Counter(a["image_id"] for a in anns).values())
     assert densest <= MatchCriterionConfig.max_targets
-    assert densest <= DataConfig.max_targets
+
+    # max_targets=None resolves from the annotation file at construction
+    ds = CocoDetectionDataset(str(cfg_path), None,
+                              PreprocessConfig(max_targets=None),
+                              synthetic=True)
+    assert ds.preprocess.max_targets is not None
+    assert ds.preprocess.max_targets >= densest
+    assert ds.preprocess.max_targets % 8 == 0
+    # mosaic composes 4 tiles -> 4x worst case
+    ds_m = CocoDetectionDataset(str(cfg_path), None,
+                                PreprocessConfig(max_targets=None,
+                                                 use_mosaic=True),
+                                synthetic=True)
+    assert ds_m.preprocess.max_targets >= 4 * densest
 
     boxes = np.random.default_rng(0).random((densest, 4)).astype(np.float32)
     labels = np.ones(densest, np.int32)
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # any warning -> failure
-        b, l, v = pad_targets(boxes, labels, MatchCriterionConfig.max_targets)
+        b, l, v = pad_targets(boxes, labels, ds.preprocess.max_targets)
     assert int(v.sum()) == densest
     np.testing.assert_array_equal(b[:densest], boxes)
 
+    # undersized cap: hard error by default, lossy-with-warning on opt-in
+    with pytest.raises(ValueError, match="exceed"):
+        pad_targets(boxes, labels, 64)
     with pytest.warns(RuntimeWarning, match="truncating 118"):
-        _, _, v64 = pad_targets(boxes, labels, 64)
+        _, _, v64 = pad_targets(boxes, labels, 64, allow_truncate=True)
     assert int(v64.sum()) == 64
 
 

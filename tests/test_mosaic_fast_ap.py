@@ -38,7 +38,7 @@ def test_mosaic_loader_path(rng):
     from wildlifemapper_tpu.data.transforms import PreprocessConfig
 
     pre = PreprocessConfig(resize_size=96, canvas_size=128, max_targets=64,
-                           use_mosaic=True)
+                           use_mosaic=True, allow_truncation=True)
     ds = CocoDetectionDataset(str(REF_ANN), None, pre, synthetic=True,
                               synthetic_size=256)
     ex = ds.get(0, rng)

@@ -38,6 +38,9 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--clip_max_norm", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint_every", type=int, default=40,
+                   help="save checkpoint_epoch_N every N epochs "
+                        "(reference cadence 40, train.py:330)")
     p.add_argument("--eval_every", type=int, default=1,
                    help="run val evaluation every N epochs (always on the "
                         "final epoch); the reference evaluates every epoch")
@@ -60,7 +63,9 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--bbox_loss_coef", type=float, default=5)
     p.add_argument("--giou_loss_coef", type=float, default=2)
     p.add_argument("--eos_coef", type=float, default=0.1)
-    p.add_argument("--max_targets", type=int, default=128)
+    p.add_argument("--max_targets", type=int, default=None,
+                   help="fixed padded target count per image; default sizes "
+                        "it from the annotation file so no GT is dropped")
     # data/aug
     p.add_argument("--resize_size", type=int, default=768)
     p.add_argument("--canvas_size", type=int, default=1024)
@@ -149,7 +154,8 @@ def config_from_args(args) -> Config:
             ce_loss_coef=args.ce_loss_coef,
             bbox_loss_coef=args.bbox_loss_coef,
             giou_loss_coef=args.giou_loss_coef,
-            eos_coef=args.eos_coef, max_targets=args.max_targets),
+            eos_coef=args.eos_coef,
+            max_targets=args.max_targets or 128),
         data=DataConfig(
             coco_path=args.coco_path, image_root=args.image_root,
             resize_size=args.resize_size, canvas_size=args.canvas_size,
@@ -166,6 +172,7 @@ def config_from_args(args) -> Config:
             seed=args.seed, use_amp=args.use_amp,
             freeze_encoder=not getattr(args, "train_encoder", False),
             eval_every=getattr(args, "eval_every", 1),
+            checkpoint_every=getattr(args, "checkpoint_every", 40),
             warmup_steps=args.warmup_steps, ema_decay=args.ema_decay,
             log_histograms_every=args.log_histograms_every),
         eval=EvalConfig(confidence_threshold=args.confidence_threshold,

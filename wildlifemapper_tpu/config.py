@@ -200,7 +200,15 @@ class DataConfig:
     # The reference's 4-image mosaic path is dead code (gate `== '_train'`
     # vs passed 'train', dataloader_coco.py:34). Off by default for parity.
     use_mosaic: bool = False
-    max_targets: int = 128
+    # Fixed padded target count per image. None (default) sizes it from the
+    # annotation file's densest image at dataset construction, so no GT is
+    # ever dropped (the reference trains on ragged, untruncated targets —
+    # dataloader_coco.py:253-270). An explicit int that undersizes the
+    # dataset is an error unless allow_truncation opts in.
+    max_targets: Optional[int] = None
+    # Opt-in lossy truncation when max_targets deliberately undersizes the
+    # dataset (tiny test harnesses). Never set for real training.
+    allow_truncation: bool = False
     batch_size: int = 6
     num_workers: int = 2
     # "thread" (PIL releases the GIL around decode) or "process" (fork

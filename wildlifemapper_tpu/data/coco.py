@@ -34,6 +34,14 @@ class CocoIndex:
     def annotations(self, image_id: int) -> List[dict]:
         return self.anns_by_img.get(image_id, [])
 
+    def max_anns_per_image(self) -> int:
+        """Densest image's annotation count — sizes the fixed `max_targets`
+        so padding never drops GT (the reference trains on ragged,
+        untruncated targets, dataloader_coco.py:253-270)."""
+        if not self.anns_by_img:
+            return 0
+        return max(len(v) for v in self.anns_by_img.values())
+
     def image_info(self, image_id: int) -> dict:
         return self.img_by_id[image_id]
 

@@ -14,6 +14,7 @@ so the full pipeline stays exercisable — and *trainable* — end-to-end.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import queue
 import threading
@@ -25,6 +26,12 @@ from PIL import Image
 from .coco import CocoIndex
 from .transforms import PreprocessConfig, preprocess_example
 
+
+# Disk-cache schema version for _synthetic_image's output. Bump whenever the
+# renderer changes (background model, ellipse drawing, class shades, ...) so
+# WM_SYNTH_CACHE entries rendered by an older version miss instead of
+# silently serving stale pixels/targets across runs.
+_SYNTH_RENDER_VERSION = 2
 
 # Distinct per-class body shades (RGB) so class identity is visually
 # recoverable from a synthetic tile — arbitrary but fixed.
@@ -97,6 +104,7 @@ class CocoDetectionDataset:
         self.preprocess = preprocess
         self.synthetic = synthetic
         self.synthetic_size = synthetic_size
+        self._resolve_max_targets()
         # Synthetic tiles are deterministic (id-seeded) and this host is
         # 1-core, so re-rendering every epoch makes the loop host-bound
         # (~4.4 s/it measured). Cache the post-resize raw example instead:
@@ -109,9 +117,30 @@ class CocoDetectionDataset:
         disk = os.environ.get("WM_SYNTH_CACHE", "/tmp/wm_synth_cache")
         self._synth_disk = (disk if synthetic and disk not in ("", "0")
                             else None)
+        self._ann_fingerprint: Optional[str] = None  # lazy, see _disk_key
 
     def __len__(self):
         return len(self.index)
+
+    def _resolve_max_targets(self):
+        """Size the fixed `max_targets` cap from the annotation file when
+        it is left unset (None), so padding can never drop ground truth.
+
+        The reference trains on ragged, untruncated targets
+        (dataloader_coco.py:253-270); a fixed cap below the densest image
+        would silently deflate recall. Rounded up to a multiple of 8 so the
+        padded (B, T, ...) target arrays tile cleanly. Mosaic composes 4
+        tiles, so its worst case is 4x the densest single image."""
+        if self.preprocess.max_targets is not None:
+            return
+        densest = self.index.max_anns_per_image()
+        if self.preprocess.use_mosaic:
+            densest *= 4
+        cap = max(8, -(-densest // 8) * 8)
+        # replace() rather than mutate: the caller's PreprocessConfig may be
+        # shared across datasets with different annotation files.
+        self.preprocess = dataclasses.replace(self.preprocess,
+                                              max_targets=cap)
 
     def _raw(self, i: int):
         """Load (resized uint8 array, xyxy boxes, labels, orig_size) for one
@@ -153,7 +182,18 @@ class CocoDetectionDataset:
     def _disk_key(self, image_id: int) -> Optional[str]:
         if self._synth_disk is None:
             return None
+        # Key includes the renderer schema version and an annotation-file
+        # fingerprint (size+mtime): a renderer change or a regenerated ann
+        # file with the same basename must MISS, not serve stale
+        # images/targets.
+        if self._ann_fingerprint is None:
+            try:
+                st = os.stat(self.index.ann_file)
+                self._ann_fingerprint = f"{st.st_size}-{int(st.st_mtime)}"
+            except OSError:
+                self._ann_fingerprint = "nostat"
         tag = (f"{os.path.basename(self.index.ann_file)}"
+               f"_v{_SYNTH_RENDER_VERSION}_{self._ann_fingerprint}"
                f"_{self.preprocess.resize_size}_{self.synthetic_size}")
         return f"{self._synth_disk}/{tag}_{image_id}.npz"
 
@@ -370,6 +410,7 @@ def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:
     pre = PreprocessConfig(
         resize_size=data_cfg.resize_size, canvas_size=data_cfg.canvas_size,
         max_targets=data_cfg.max_targets,
+        allow_truncation=data_cfg.allow_truncation,
         flip_prob=data_cfg.flip_prob if split == "train" else 0.0,
         flip_is_vertical=data_cfg.flip_is_vertical,
         use_mosaic=data_cfg.use_mosaic if split == "train" else False,

@@ -119,17 +119,26 @@ def pad_to_canvas(image: np.ndarray, canvas: int) -> np.ndarray:
     return out
 
 
-def pad_targets(boxes: np.ndarray, labels: np.ndarray, max_targets: int):
+def pad_targets(boxes: np.ndarray, labels: np.ndarray, max_targets: int,
+                allow_truncate: bool = False):
     """Ragged targets -> fixed (max_targets,) arrays + validity mask.
 
-    The default cap (128) exceeds the bundled train split's densest image
-    (118 boxes), so no target is ever dropped there; if an input does
-    overflow, the excess is truncated WITH a warning (the reference trains
-    on ragged, untruncated targets — dataloader_coco.py:253-270 — so silent
-    loss would be a parity break). Padding slots get label 0 / centered
-    dummy boxes.
+    Overflow is an ERROR by default: the reference trains on ragged,
+    untruncated targets (dataloader_coco.py:253-270), so dropping GT here
+    would silently deflate recall. `DataConfig.max_targets=None` (the
+    default) sizes the cap from the annotation file so overflow cannot
+    happen; tiny test harnesses that deliberately undersize the cap opt in
+    with `allow_truncate=True` (truncates WITH a warning). Padding slots
+    get label 0 / centered dummy boxes.
     """
     if len(labels) > max_targets:
+        if not allow_truncate:
+            raise ValueError(
+                f"pad_targets: {len(labels)} targets exceed "
+                f"max_targets={max_targets} and truncation would silently "
+                "drop ground truth. Leave DataConfig.max_targets=None to "
+                "size it from the annotation file, raise it explicitly, or "
+                "set allow_truncation=True to accept lossy truncation.")
         warnings.warn(
             f"pad_targets: truncating {len(labels)} targets to "
             f"max_targets={max_targets}; raise criterion.max_targets / "
@@ -149,7 +158,12 @@ def pad_targets(boxes: np.ndarray, labels: np.ndarray, max_targets: int):
 class PreprocessConfig:
     resize_size: int = 768
     canvas_size: int = 1024
-    max_targets: int = 128
+    # None -> sized from the annotation file at dataset construction
+    # (CocoDetectionDataset.__init__), so no GT is ever dropped.
+    max_targets: Optional[int] = 128
+    # Opt-in lossy truncation for deliberately undersized caps (tiny test
+    # harnesses). Never set this for real training.
+    allow_truncation: bool = False
     flip_prob: float = 0.0
     flip_is_vertical: bool = True
     use_mosaic: bool = False
@@ -171,7 +185,8 @@ def finish_example(arr_u8: np.ndarray, boxes_xyxy: np.ndarray,
     if cfg.flip_prob > 0 and rng is not None and rng.random() < cfg.flip_prob:
         arr, boxes = flip(arr, boxes, cfg.flip_is_vertical)
     arr = pad_to_canvas(arr, cfg.canvas_size)
-    pboxes, plabels, valid = pad_targets(boxes, labels, cfg.max_targets)
+    pboxes, plabels, valid = pad_targets(boxes, labels, cfg.max_targets,
+                                         cfg.allow_truncation)
     return {
         "image": arr,
         "boxes": pboxes,
