@@ -56,7 +56,7 @@ def main(argv=None):
         params = CheckpointManager.load_params(args.orbax_checkpoint,
                                                params, use_ema=args.use_ema)
 
-    stats = evaluate(builder.eval_step_fn(), params, loader, ds.index, cfg,
+    stats = evaluate(builder.jit_eval_step(), params, loader, ds.index, cfg,
                      apply_nms=args.nms, max_batches=args.max_batches)
     for k, v in stats.items():
         print(f"{k}: {v:.4f}")

@@ -24,7 +24,11 @@ from .postprocess import batched_nms, postprocess
 def _jit_eval_step(eval_step: Callable):
     """One jit wrapper per step function: the reference calls evaluate()
     every epoch (train.py:325) without recompiling; a fresh jax.jit per call
-    would retrace each epoch (30s-5min per compile over the axon tunnel)."""
+    would retrace each epoch (30s-5min per compile over the axon tunnel).
+    Already-jitted callables (StepBuilder.jit_eval_step — carries the mesh
+    sharding constraint) pass through untouched."""
+    if isinstance(eval_step, jax.stages.Wrapped):
+        return eval_step
     return jax.jit(eval_step)
 
 
@@ -33,26 +37,27 @@ def _log_first_batch_images(logger_backend, epoch: int, batch, dets,
     """Render val bbox overlays for the epoch log (reference:
     wandb_logger.py:169-270 log_detection_results — first batch, up to 8
     images, predictions above score 0.5)."""
-    images, detections = [], []
-    for i in range(len(batch["image_id"])):
-        if not batch["batch_valid"][i] or len(images) >= max_images:
-            continue
-        h, w = int(batch["size"][i][0]), int(batch["size"][i][1])
-        # dets boxes are at orig_size scale (COCO coords); map back onto the
-        # resized content region for drawing
-        oh, ow = (float(batch["orig_size"][i][0]),
-                  float(batch["orig_size"][i][1]))
-        sx, sy = w / max(ow, 1.0), h / max(oh, 1.0)
-        keep = np.asarray(dets["keep"][i]) & (
-            np.asarray(dets["scores"][i]) > score_threshold)
-        boxes = np.asarray(dets["boxes"][i])[keep] * [sx, sy, sx, sy]
-        images.append(np.asarray(batch["image"][i][:h, :w]))
-        detections.append({"boxes": boxes,
-                           "labels": np.asarray(dets["labels"][i])[keep],
-                           "scores": np.asarray(dets["scores"][i])[keep]})
-    try:
+    try:  # overlay building + rendering must never kill an eval epoch
+        images, detections = [], []
+        for i in range(len(batch["image_id"])):
+            if not batch["batch_valid"][i] or len(images) >= max_images:
+                continue
+            h, w = int(batch["size"][i][0]), int(batch["size"][i][1])
+            # dets boxes are at orig_size scale (COCO coords); map back onto
+            # the resized content region for drawing
+            oh, ow = (float(batch["orig_size"][i][0]),
+                      float(batch["orig_size"][i][1]))
+            sx, sy = w / max(ow, 1.0), h / max(oh, 1.0)
+            keep = np.asarray(dets["keep"][i]) & (
+                np.asarray(dets["scores"][i]) > score_threshold)
+            boxes = np.asarray(dets["boxes"][i])[keep] * [sx, sy, sx, sy]
+            images.append(np.asarray(batch["image"][i][:h, :w]))
+            detections.append(
+                {"boxes": boxes,
+                 "labels": np.asarray(dets["labels"][i])[keep],
+                 "scores": np.asarray(dets["scores"][i])[keep]})
         logger_backend.log_images(epoch, images, detections)
-    except Exception as e:  # rendering must never kill an eval epoch
+    except Exception as e:
         print(f"Warning: could not log detection overlays: {e}")
 
 

@@ -78,7 +78,7 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
     if mesh is not None:
         state = builder.place(state)
     train_step = builder.jit_train_step()
-    eval_step = builder.eval_step_fn()
+    eval_step = builder.jit_eval_step()  # mesh-sharded like the train step
     dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
     best_loss = float("inf")

@@ -198,6 +198,24 @@ class StepBuilder:
 
         return jax.jit(wrapped, donate_argnums=(0,))
 
+    def jit_eval_step(self):
+        """jit the eval step, batch sharded over the mesh's data axis when a
+        mesh is provided — per-epoch val on a single-process multi-chip host
+        must use every device, exactly like jit_train_step (the reference
+        wraps evaluate's model in the same DDP module it trains,
+        inference.py:29-56)."""
+        fn = self.eval_step_fn()
+        if self.mesh is None:
+            return jax.jit(fn)
+        mesh = self.mesh
+
+        def wrapped(params, batch):
+            batch = jax.lax.with_sharding_constraint(
+                batch, mesh_lib.batch_sharding(mesh))
+            return fn(params, batch)
+
+        return jax.jit(wrapped)
+
     def place(self, state: TrainState) -> TrainState:
         """Device_put state with the mesh's param shardings."""
         if self.mesh is None:
