@@ -12,6 +12,8 @@ FFT + decoder overhead -> ~25 tiles/sec. BASELINE.json's target is >=5x that
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -19,6 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REF_TILES_PER_SEC = 25.0
+
+# A dead axon relay makes jax.devices() HANG rather than error (CLAUDE.md
+# "TPU environment gotchas"), which turned round 3's bench record into an
+# rc=1 timeout. Probe in a bounded subprocess first so a dead relay yields
+# an honest "blocked" record instead of a hang.
+PROBE_TIMEOUT_S = 280
+
+
+def backend_reachable() -> bool:
+    """Bounded probe: can this environment's jax backend initialize?"""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices(), 'no devices'"],
+            timeout=PROBE_TIMEOUT_S, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def measure(pipeline, params, make_inputs, batches=(8, 16), n_iter=10):
@@ -55,6 +75,20 @@ def measure(pipeline, params, make_inputs, batches=(8, 16), n_iter=10):
 
 def main():
     import dataclasses
+
+    if not backend_reachable():
+        # rc 0 + explicit marker: the driver's record should say "relay
+        # down", not strand the round on a hung jax.devices().
+        print(json.dumps({
+            "metric": "1024px_tiles_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "tiles/sec",
+            "vs_baseline": 0.0,
+            "blocked": ("jax backend unreachable (bounded probe, "
+                        f"{PROBE_TIMEOUT_S}s) — axon relay down; see "
+                        "scripts/tpu_watch.sh"),
+        }))
+        return
 
     from wildlifemapper_tpu.config import model_config
     from wildlifemapper_tpu.eval.postprocess import batched_nms, postprocess
