@@ -84,7 +84,9 @@ class WildlifeMapperPredictor:
         """image: (H, W, 3) uint8 RGB. Resizes/pads like the train pipeline
         and caches the image embedding."""
         h0, w0 = image.shape[:2]
-        target = int(self.cfg.img_size * 0.75)  # 768 content in 1024 canvas
+        # content extent inside the canvas: the model's configured
+        # content_size when set, else the train pipeline's 768-in-1024 ratio
+        target = self.cfg.content_size or int(self.cfg.img_size * 768 / 1024)
         ow, oh = resize_keep_aspect((w0, h0), target, target)
         resized = np.asarray(
             Image.fromarray(image).resize((ow, oh), Image.BILINEAR))
@@ -107,7 +109,6 @@ class WildlifeMapperPredictor:
         """Returns detections in *original image* coordinates."""
         assert self.is_image_set, "call set_image first"
         out = self._decode(self.params, self._embedding)
-        oh, ow = self._content_hw
         h0, w0 = self._orig_hw
         # scale from normalized (content-frame) to original pixels
         dets = postprocess(out, jnp.asarray([[h0, w0]]), score_threshold,

@@ -46,10 +46,18 @@ def _block(rows: int, width: int) -> int:
     for cand in range(128, rows + 1, 128):
         if rows % cand == 0 and cand * width * 4 <= budget:
             best = cand
-    if best is None:  # tiny/odd shapes (tests)
+    if best is None:  # tiny/odd shapes, or huge `width` (large M)
         best = min(512, rows)
         while rows % best:
             best //= 2
+        # Still honor the budget: without this, a (512, M) f32 score tile
+        # can exceed the scoped-VMEM limit for very wide M and fail to
+        # compile. Re-descend to a divisor after each halving (halving an
+        # odd divisor breaks divisibility).
+        while best > 1 and best * width * 4 > budget:
+            best //= 2
+            while best > 1 and rows % best:
+                best //= 2
     return best
 
 

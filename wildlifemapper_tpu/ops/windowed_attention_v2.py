@@ -21,7 +21,10 @@ pack per-head lanes at stride SH=16 so each head's slice is a small static
 lane offset.
 
 Reference parity target: image_encoder.py:188-204 (windowed attention) +
-:347-383 (decomposed rel-pos); numerics identical to v1 / the jnp oracle.
+:347-383 (decomposed rel-pos); numerics near-identical to v1 / the jnp
+oracle within bf16 rounding — the fused-bias formulation rounds q*scale
+back to bf16 before the QK matmul where v1 scaled the f32 accumulator, so
+bf16 outputs are not bit-identical (oracle tests are tolerance-based).
 
 Backward: custom VJP recomputing scores per head in one kernel that emits
 packed dqkv plus packed drel tables, so the training step sees the same

@@ -59,8 +59,14 @@ class CheckpointManager:
         fails loudly instead of silently mixing trees."""
         raw = ocp.StandardCheckpointer().restore(path)
         if "opt_state" in raw:  # TrainState; bare params has only 'params'
-            tree = (raw["ema_params"] if use_ema
-                    and raw.get("ema_params") is not None else raw["params"])
+            has_ema = raw.get("ema_params") is not None
+            if use_ema and not has_ema:
+                import warnings
+                warnings.warn(
+                    f"use_ema=True but checkpoint {path} carries no EMA "
+                    "tree (trained with ema_decay=0?); falling back to raw "
+                    "params", RuntimeWarning, stacklevel=2)
+            tree = raw["ema_params"] if use_ema and has_ema else raw["params"]
         else:
             tree = raw
         import jax.numpy as jnp
