@@ -87,10 +87,15 @@ class ChannelLayerNorm(nn.Module):
 
     epsilon: float = 1e-6
     dtype: Dtype = jnp.float32
+    # flax's default E[x^2]-E[x]^2 variance cancels catastrophically on
+    # very narrow channel axes (e.g. the 2-channel mask-downscaling stage);
+    # set False for torch-exact two-pass variance there.
+    use_fast_variance: bool = True
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype,
+                            use_fast_variance=self.use_fast_variance)(x)
 
 
 class MLPHead(nn.Module):
