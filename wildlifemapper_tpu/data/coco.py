@@ -8,14 +8,36 @@ torchvision.datasets.CocoDetection in dataloader_coco.py:23-48).
 
 from __future__ import annotations
 
+import gzip
 import json
 from pathlib import Path
 from typing import Dict, List, Optional
 
+# Vendored annotation bundle (gzipped re-serializations of the reference's
+# coco_annotations/*.json) so the package is standalone; resolve_ann_file
+# falls back to it when a requested plain .json is absent.
+ASSETS_DIR = Path(__file__).resolve().parent.parent / "assets" / "coco_annotations"
+
+
+def resolve_ann_file(path: str) -> str:
+    """Resolve an annotation path: the file itself, its .gz sibling, or the
+    same-named file in the vendored assets bundle."""
+    p = Path(path)
+    if p.exists():
+        return str(p)
+    if Path(str(p) + ".gz").exists():
+        return str(p) + ".gz"
+    for cand in (ASSETS_DIR / p.name, ASSETS_DIR / (p.name + ".gz")):
+        if cand.exists():
+            return str(cand)
+    return str(p)  # let open() raise the natural FileNotFoundError
+
 
 class CocoIndex:
     def __init__(self, ann_file: str):
-        with open(ann_file) as f:
+        ann_file = resolve_ann_file(ann_file)
+        opener = gzip.open if ann_file.endswith(".gz") else open
+        with opener(ann_file, "rt") as f:
             d = json.load(f)
         self.ann_file = ann_file
         self.dataset = d
