@@ -19,7 +19,9 @@
 # Usage: nohup scripts/r4_pipeline.sh > /tmp/prof/r4_pipeline.log 2>&1 &
 #        echo $! > /tmp/prof/r4_pipeline.pid
 set -u
-cd "$(dirname "$0")/.."
+# REPO override lets the pipeline run from a frozen /tmp copy (editing a
+# bash script that a live instance is executing corrupts it mid-read).
+cd "${REPO:-$(dirname "$0")/..}"
 
 PROF=${PROF:-/tmp/prof}
 WORK=${WORK:-$PROF/r4_train}
@@ -73,6 +75,11 @@ echo "[$(stamp)] STAGE 3b: train-kernel sweep"
 bash scripts/tpu_watch.sh || exit 1
 python scripts/sweep_train_kernels.py > "$PROF/r4_sweep_train.log" 2>&1
 echo "[$(stamp)] stage 3b rc=$?"
+
+echo "[$(stamp)] STAGE 3c: serving-softmax knob (bf16 exp) measurement"
+bash scripts/tpu_watch.sh || exit 1
+python scripts/sweep_serving_softmax.py > "$PROF/r4_softmax_knob.log" 2>&1
+echo "[$(stamp)] stage 3c rc=$?"
 
 echo "[$(stamp)] STAGE 4: headline bench"
 bash scripts/tpu_watch.sh || exit 1

@@ -37,6 +37,22 @@ def _inputs(rng, b=2, h=8, w=8, heads=4, d=32):
     return tuple(map(jnp.asarray, (qkv, rel_h, rel_w)))
 
 
+def test_fast_softmax_exp_within_bf16_tolerance(rng, monkeypatch):
+    """FAST_SOFTMAX_EXP (serving knob, default off) must stay within bf16
+    rounding of the f32 softmax — p is cast to bf16 for the PV matmul
+    either way, so only the normalizer's precision changes."""
+    import wildlifemapper_tpu.ops.flash_attention_v2 as fa2
+
+    qkv, rel_h, rel_w = _inputs(rng)
+    rhT, rw = pack_rel_global(rel_h, rel_w, 4, (8, 8))
+    assert fa2.FAST_SOFTMAX_EXP is False  # default of record
+    base = np.asarray(flash_attention_packed(qkv, rhT, rw, 0.25, 4, (8, 8)))
+    monkeypatch.setattr(fa2, "FAST_SOFTMAX_EXP", True)
+    fast = np.asarray(flash_attention_packed(qkv, rhT, rw, 0.25, 4, (8, 8)))
+    np.testing.assert_allclose(fast, base, atol=2e-2, rtol=2e-2)
+    assert np.abs(fast - base).mean() < 2e-3
+
+
 @pytest.mark.parametrize("hw", [(8, 8), (4, 8)])  # incl. non-square grid
 def test_forward_matches_oracle(rng, hw):
     h, w = hw

@@ -52,6 +52,14 @@ VMEM_LIMIT = 110 * 1024 * 1024
 # fatter MXU row blocks for the augmented QK matmul).
 FWD_TILE_BUDGET = 4 * 1024 * 1024
 BWD_TILE_BUDGET = 2 * 1024 * 1024
+# Serving-only experiment knob (sweep_train_kernels / trace_tiers measure
+# it): run the forward softmax's exp in bf16 instead of f32. The prob tile
+# is cast to bf16 for the PV matmul regardless, so only the normalizer's
+# accuracy drops (rel ~1e-3); the softmax is the kernel's VPU bound
+# (~2.9 of 4.45 ms per crop-tier call). Default OFF — the mAP-exact claim
+# is for f32 softmax; enable only after a measured drift check. Forward
+# only: the backward always recomputes p in f32 from the saved lse.
+FAST_SOFTMAX_EXP = False
 
 
 def _use_interpret() -> bool:
@@ -123,8 +131,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32)                  # (bq, n)
 
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        if FAST_SOFTMAX_EXP:
+            p = jnp.exp((s - m).astype(jnp.bfloat16))
+            l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p.astype(in_dt), v_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
