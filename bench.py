@@ -30,12 +30,24 @@ PROBE_TIMEOUT_S = 280
 
 
 def backend_reachable() -> bool:
-    """Bounded probe: can this environment's jax backend initialize?"""
+    """Bounded probe: can this environment's jax backend initialize?
+
+    Fast TCP pre-check on the axon relay port first: when the port is
+    closed, a dead relay would make the jax probe burn its full timeout,
+    so drop to a short one — enough for a CPU/non-relay backend (init in
+    seconds) to still pass, while a hung axon init fails fast."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", 8113), timeout=5):
+            port_open = True
+    except OSError:
+        port_open = False
+    timeout_s = PROBE_TIMEOUT_S if port_open else 30
     try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; assert jax.devices(), 'no devices'"],
-            timeout=PROBE_TIMEOUT_S, capture_output=True)
+            timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False

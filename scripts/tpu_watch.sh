@@ -17,7 +17,10 @@
 # Poll interval 120 s; each probe bounded at $PROBE_TIMEOUT (default 90 s).
 set -u
 
-PROBE_TIMEOUT="${PROBE_TIMEOUT:-90}"
+# 280 s matches CLAUDE.md's prescribed bounded probe (and bench.py): jax
+# backend init over a cold/slow tunnel can legitimately take minutes — a
+# shorter timeout misclassifies a healthy relay as down.
+PROBE_TIMEOUT="${PROBE_TIMEOUT:-280}"
 MAX_WAIT="${MAX_WAIT:-36000}"
 RELAY_HOST="${RELAY_HOST:-127.0.0.1}"
 RELAY_PORT="${RELAY_PORT:-8113}"

@@ -199,3 +199,19 @@ def test_oracle_parity_with_reference(tmp_path):
     theirs = json.loads((tmp_path / "ref2.json").read_text())
     for k in ("images", "annotations", "categories", "licenses"):
         _approx_equal(ours[k], theirs[k], k)
+
+    # non-integer labels: pandas float column -> category names keep the
+    # float repr ('class_2.0' / 'class_2.5') and ids int-coerce (both 2 —
+    # the reference's own duplicate-id quirk, csv_to_coco.py:114-119)
+    fl_csv = tmp_path / "float_labels.csv"
+    _write_csv(fl_csv, ["images", "x", "y", "labels"],
+               [["m.jpg", 10, 10, 2.0], ["m.jpg", 30, 30, 2.5]])
+    ours = convert_csv_to_coco(str(fl_csv), str(imgs),
+                               str(tmp_path / "ours3.json"))
+    ref.convert_csv_to_coco(str(fl_csv), str(imgs),
+                            str(tmp_path / "ref3.json"))
+    theirs = json.loads((tmp_path / "ref3.json").read_text())
+    for k in ("images", "annotations", "categories"):
+        _approx_equal(ours[k], theirs[k], k)
+    assert [c["name"] for c in ours["categories"]] == \
+        ["class_2.0", "class_2.5"]

@@ -34,7 +34,6 @@ class WildlifeMapperPredictor:
         self.params = params
         self.cfg = cfg
         self._embedding = None
-        self._content_hw: Optional[tuple] = None
         self._orig_hw: Optional[tuple] = None
 
         # Standalone encoder/decoder modules sharing the detector's params
@@ -93,7 +92,6 @@ class WildlifeMapperPredictor:
         arr = ((resized.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
         arr = pad_to_canvas(arr, self.cfg.img_size)
         self._embedding = self._encode(self.params, jnp.asarray(arr[None]))
-        self._content_hw = (oh, ow)
         self._orig_hw = (h0, w0)
 
     @property
@@ -125,5 +123,4 @@ class WildlifeMapperPredictor:
 
     def reset_image(self):
         self._embedding = None
-        self._content_hw = None
         self._orig_hw = None

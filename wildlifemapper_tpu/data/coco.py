@@ -21,7 +21,10 @@ ASSETS_DIR = Path(__file__).resolve().parent.parent / "assets" / "coco_annotatio
 
 def resolve_ann_file(path: str) -> str:
     """Resolve an annotation path: the file itself, its .gz sibling, or the
-    same-named file in the vendored assets bundle."""
+    same-named file in the vendored assets bundle. The bundle substitution
+    is LOUD — silently training on the vendored Mara-Wildlife splits when
+    the user pointed at their own (mistyped/unmounted) dataset would be a
+    data-correctness disaster."""
     p = Path(path)
     if p.exists():
         return str(p)
@@ -29,6 +32,12 @@ def resolve_ann_file(path: str) -> str:
         return str(p) + ".gz"
     for cand in (ASSETS_DIR / p.name, ASSETS_DIR / (p.name + ".gz")):
         if cand.exists():
+            import warnings
+            warnings.warn(
+                f"annotation file {path} not found; substituting the "
+                f"vendored bundle {cand} (Mara-Wildlife/HerdNet splits). "
+                "If you meant your own dataset, check --coco_path.",
+                RuntimeWarning, stacklevel=3)
             return str(cand)
     return str(p)  # let open() raise the natural FileNotFoundError
 

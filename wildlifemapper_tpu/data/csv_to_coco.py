@@ -90,7 +90,13 @@ def convert_csv_to_coco(csv_file: str, images_dir: str, output_json: str,
 
     # Categories from EVERY row — including rows of images that later get
     # skipped (reference builds them from df['labels'] up front, :110-119).
-    unique_labels = sorted({int(float(r["labels"])) for r in rows})
+    # Label VALUES keep pandas' representation for the category name
+    # (int64 column -> 'class_2', float column -> 'class_2.0'/'class_2.5')
+    # while ids are int-coerced like the reference's int(label).
+    raw_labels = [float(r["labels"]) for r in rows]
+    all_integral = all(v.is_integer() for v in raw_labels)
+    unique_labels = sorted(set(int(v) if all_integral else v
+                               for v in raw_labels))
     now = datetime.now()
     coco = {
         "info": {
@@ -102,7 +108,7 @@ def convert_csv_to_coco(csv_file: str, images_dir: str, output_json: str,
         "licenses": [{"id": 1, "name": "Unknown License", "url": ""}],
         "images": [],
         "annotations": [],
-        "categories": [{"id": c, "name": f"class_{c}",
+        "categories": [{"id": int(c), "name": f"class_{c}",
                         "supercategory": "animal"} for c in unique_labels],
     }
 

@@ -77,7 +77,12 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     first_batch = True
     for batch in logger.log_every(batches, 10, header="Eval:",
                                   total=n_batches):
-        arrays = {k: batch[k] for k in ("image", "labels", "boxes", "valid")}
+        # "size" must ride along: under device_normalize the jitted step
+        # re-zeros the canvas pad band from the content extents — without it
+        # eval would normalize the pad to -mean/std while training zeros it.
+        arrays = {k: batch[k]
+                  for k in ("image", "labels", "boxes", "valid", "size")
+                  if k in batch}
         # padded final-batch rows (last example repeated) are masked out of
         # the loss meters in-criterion (VERDICT r2 weak #3)
         arrays["batch_valid"] = np.asarray(batch["batch_valid"])

@@ -35,6 +35,17 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
 
     train_ds = build_dataset("train", cfg.data)
     val_ds = build_dataset("val", cfg.data)
+    if cfg.data.max_targets is None:
+        # Reflect the annotation-file-resolved cap back into the config so
+        # the config.json written beside checkpoints records the run's
+        # actual padded target width (criterion.max_targets kept in sync —
+        # tests/tools size dummy targets from it).
+        import dataclasses
+        resolved = train_ds.preprocess.max_targets
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, max_targets=resolved),
+            criterion=dataclasses.replace(cfg.criterion,
+                                          max_targets=resolved))
     train_loader = DataLoader(
         train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.train.seed,
         drop_last=True, process_index=jax.process_index(),
