@@ -1,0 +1,204 @@
+"""Scaled CPU proxy of the trained-weights crop-drift measurement.
+
+The north-star conjunction needs drift-as-mAP between the full-canvas
+function and the checkpoint-compat crop tier measured with TRAINED
+weights (random-init drift 0.650 is a worst-case bound — PERF.md). The
+real measurement runs at 1024px on the TPU (scripts/conjunction.py,
+queued behind the relay watchdog); this proxy reproduces the experiment
+end-to-end on the 1-core CPU host at 1/16 the pixels so the question
+("does a model trained on zero-padded canvases learn to ignore the pad
+tokens the crop tier drops?") gets a measured answer even with the chip
+unreachable:
+
+  * same geometry ratio: 192px content in a 256px canvas (vs 768-in-1024),
+    16x16 token grid cropped to 12x12 — the pad fraction the crop drops
+    is identical (44%);
+  * same training recipe: synthetic ellipse tiles from the real val/train
+    annotation geometry, AdamW + StepLR, clip 1.0, encoder trained;
+  * same measurement: f32 full-canvas detections as pseudo-GT, each tier
+    scored with the repo COCOeval (scripts/drift_map.py methodology).
+
+Writes checkpoints under --work_dir and prints per-tier drift AP lines
+plus one JSON verdict line.
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+
+import jax
+jax.config.update("jax_platforms", "cpu")  # axon hangs when the relay is down
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from wildlifemapper_tpu.config import (Config, DataConfig, DecoderConfig,  # noqa: E402
+                                       HFCConfig, MatchCriterionConfig,
+                                       TrainConfig, ViTConfig, model_config)
+
+
+def proxy_model_config(dtype="float32", content_size=None,
+                       use_flash=False):
+    base = model_config("vit_b", dtype=dtype, use_flash_attention=use_flash,
+                        content_size=content_size)
+    return dataclasses.replace(
+        base, img_size=256, patch_size=16,
+        vit=ViTConfig(embed_dim=192, depth=6, num_heads=6,
+                      global_attn_indexes=(2, 5), window_size=4,
+                      out_chans=128),
+        # ffn_dim must equal proj_dim (the adaptor's FFN residual adds the
+        # proj_dim stream; reference uses 1024 for both)
+        hfc=HFCConfig(embed_dim=96, proj_dim=96, num_heads=4, ffn_dim=96),
+        decoder=DecoderConfig(transformer_dim=128, mlp_dim=256,
+                              num_queries=51, num_heads=4))
+
+
+def proxy_data_config():
+    return DataConfig(synthetic=True, synthetic_size=256, resize_size=192,
+                      canvas_size=256, batch_size=8, flip_prob=0.5,
+                      num_workers=0)
+
+
+def train_proxy(workdir, epochs, eval_every, resume):
+    from wildlifemapper_tpu.train.loop import train
+
+    cfg = Config(model=proxy_model_config("bfloat16"),
+                 data=proxy_data_config(),
+                 train=TrainConfig(lr=1e-4, epochs=epochs, lr_drop=25,
+                                   clip_max_norm=1.0, use_amp=True,
+                                   freeze_encoder=False,
+                                   eval_every=eval_every,
+                                   checkpoint_every=10),
+                 criterion=MatchCriterionConfig())
+    t0 = time.time()
+    stats = train(cfg, workdir=workdir, resume=resume)
+    print(f"training done in {time.time()-t0:.0f}s; final stats:")
+    for k, v in sorted(stats.items()):
+        print(f"  {k}: {v:.4f}")
+    return stats
+
+
+def val_tiles(n):
+    from wildlifemapper_tpu.data.loader import build_dataset
+
+    dc = dataclasses.replace(proxy_data_config(), flip_prob=0.0)
+    ds = build_dataset("val", dc)
+    n = min(n, len(ds))
+    return np.stack([ds.get(i)["image"] for i in range(n)]).astype(np.float32)
+
+
+def run_tier(cfg, params, tiles, batch=8):
+    from wildlifemapper_tpu.eval.postprocess import postprocess
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    model = WildlifeMapper(cfg)
+
+    @jax.jit
+    def fwd(p, x, sz):
+        return postprocess(model.apply(p, x), sz, 0.05)
+
+    pad = (-len(tiles)) % batch
+    padded = np.concatenate([tiles, np.repeat(tiles[-1:], pad, axis=0)]) \
+        if pad else tiles
+    sizes = jnp.full((batch, 2), cfg.img_size, jnp.int32)
+    outs = []
+    for i in range(0, len(padded), batch):
+        outs.append(jax.device_get(
+            fwd(params, jnp.asarray(padded[i:i + batch]), sizes)))
+    dets = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    return {k: v[:len(tiles)] for k, v in dets.items()}
+
+
+def drift_ap(gt_dets, pred_dets, n):
+    from wildlifemapper_tpu.eval.coco_eval import CocoEvaluator
+
+    class Index:
+        def __init__(self, anns, cats):
+            self._anns, self.categories = anns, [{"id": int(c)} for c in cats]
+
+        def annotations(self, img_id):
+            return self._anns.get(img_id, [])
+
+    anns, cats = {}, set()
+    for i in range(n):
+        keep = gt_dets["scores"][i] > 0.3
+        b = gt_dets["boxes"][i][keep]
+        labs = gt_dets["labels"][i][keep]
+        anns[i] = [{"bbox": [b[j, 0], b[j, 1], b[j, 2] - b[j, 0],
+                             b[j, 3] - b[j, 1]],
+                    "area": float((b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])),
+                    "category_id": int(labs[j]), "iscrowd": 0}
+                   for j in range(len(b))]
+        cats |= set(int(l) for l in labs)
+    ev = CocoEvaluator(Index(anns, sorted(cats or {1})))
+    ev.update({i: {"boxes": pred_dets["boxes"][i][pred_dets["scores"][i] > 0.05],
+                   "scores": pred_dets["scores"][i][pred_dets["scores"][i] > 0.05],
+                   "labels": pred_dets["labels"][i][pred_dets["scores"][i] > 0.05]}
+               for i in range(n)})
+    ev.accumulate()
+    return ev.summarize()["AP"]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work_dir", default="/tmp/prof/proxy_train")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--eval_every", type=int, default=10)
+    ap.add_argument("--n_imgs", type=int, default=64)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="measure drift on an existing work_dir checkpoint")
+    args = ap.parse_args()
+
+    if not args.skip_train:
+        train_proxy(args.work_dir, args.epochs, args.eval_every, args.resume)
+
+    from wildlifemapper_tpu.models import WildlifeMapper
+    from wildlifemapper_tpu.train.checkpoints import CheckpointManager
+
+    cfg32 = proxy_model_config("float32")
+    m32 = WildlifeMapper(cfg32)
+    params = jax.jit(m32.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3)))
+    params = CheckpointManager.load_params(
+        f"{args.work_dir}/best_checkpoint", params)
+    print("loaded trained proxy params", flush=True)
+
+    tiles = val_tiles(args.n_imgs)
+    n = len(tiles)
+    gt = run_tier(cfg32, params, tiles)
+    print(f"pseudo-GT detections: {int((gt['scores'] > 0.3).sum())}",
+          flush=True)
+
+    tiers = [("f32-self", cfg32),
+             ("bf16-full", proxy_model_config("bfloat16")),
+             ("bf16-crop", proxy_model_config("bfloat16",
+                                              content_size=192))]
+    results = {}
+    for tag, cfg in tiers:
+        dets = run_tier(cfg, params, tiles)
+        results[tag] = drift_ap(gt, dets, n)
+        print(f"{tag}: drift-AP={results[tag]:.4f}", flush=True)
+
+    # Random-init contrast on the same proxy (the worst-case bound)
+    rand = jax.jit(m32.init)(jax.random.PRNGKey(7),
+                             jnp.zeros((1, 256, 256, 3)))
+    gt_r = run_tier(cfg32, rand, tiles)
+    crop_r = run_tier(proxy_model_config("bfloat16", content_size=192),
+                      rand, tiles)
+    rand_drift = drift_ap(gt_r, crop_r, n)
+    print(f"random-init bf16-crop contrast: drift-AP={rand_drift:.4f}",
+          flush=True)
+
+    print(json.dumps({
+        "experiment": "cpu_proxy_trained_weights_crop_drift",
+        "geometry": "192-content in 256-canvas (1/16 px of 768-in-1024)",
+        "trained": results, "random_init_crop": rand_drift,
+    }))
+
+
+if __name__ == "__main__":
+    main()

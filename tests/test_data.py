@@ -91,6 +91,24 @@ def test_vendored_annotation_fallback(tmp_path):
         assert idx.dataset["annotations"] == ref_idx.dataset["annotations"]
 
 
+@pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
+def test_synthetic_size_scales_render():
+    """DataConfig.synthetic_size renders tiles at the requested size with
+    annotations rescaled to match (scaled-proxy experiments)."""
+    from wildlifemapper_tpu.config import DataConfig
+    from wildlifemapper_tpu.data.loader import build_dataset
+
+    dc = DataConfig(synthetic=True, synthetic_size=256, resize_size=192,
+                    canvas_size=256, flip_prob=0.0)
+    ds = build_dataset("val", dc)
+    ex = ds.get(0)
+    assert ex["image"].shape == (256, 256, 3)
+    assert ex["valid"].any()
+    # boxes normalized to the resized content: all within [0, 1]
+    b = ex["boxes"][ex["valid"]]
+    assert (b >= 0).all() and (b <= 1).all()
+
+
 def test_pad_targets_truncates():
     boxes = np.random.default_rng(0).uniform(size=(100, 4)).astype(np.float32)
     labels = np.ones(100, dtype=np.int32)

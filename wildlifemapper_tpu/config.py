@@ -219,6 +219,10 @@ class DataConfig:
     # host->device transfer (identical math; see PreprocessConfig).
     device_normalize: bool = False
     synthetic: bool = False       # generate random tiles when images are absent
+    # Render synthetic tiles at this size instead of the annotation file's
+    # recorded dims (annotations are rescaled to match) — scaled-down
+    # proxy experiments render 16x fewer pixels at 256 than at 1024.
+    synthetic_size: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

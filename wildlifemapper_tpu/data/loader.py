@@ -417,5 +417,6 @@ def build_dataset(split: str, data_cfg) -> CocoDetectionDataset:
         emit_uint8=data_cfg.device_normalize)
     ann_file = f"{data_cfg.coco_path}/{split}.json"
     root = f"{data_cfg.image_root}/{split}" if data_cfg.image_root else None
-    return CocoDetectionDataset(ann_file, root, pre,
-                                synthetic=data_cfg.synthetic)
+    return CocoDetectionDataset(
+        ann_file, root, pre, synthetic=data_cfg.synthetic,
+        synthetic_size=getattr(data_cfg, "synthetic_size", None))
