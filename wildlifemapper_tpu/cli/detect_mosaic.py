@@ -42,11 +42,17 @@ def main(argv=None):
         params, _ = convert_checkpoint(args.checkpoint, params,
                                        depth=cfg.model.vit.depth)
 
+    # Multi-chip hosts shard tile batches over the mesh's data axis (the
+    # pod-scale mosaic path); single-chip runs stay mesh-free.
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(model_parallel=1)
     det = OrthomosaicDetector(builder.model, params, cfg.model,
                               tile_batch=args.tile_batch,
                               overlap=args.overlap,
                               confidence_threshold=args.score_threshold,
-                              nms_iou=cfg.eval.nms_iou)
+                              nms_iou=cfg.eval.nms_iou, mesh=mesh)
     results = {}
     for path in args.images:
         img = np.asarray(Image.open(path).convert("RGB"))
