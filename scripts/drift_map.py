@@ -119,7 +119,14 @@ def main():
                       help="use loader-rendered val-split tiles instead of "
                            "the script's own synthetic field")
     ap_p.add_argument("--n_imgs", type=int, default=N_IMGS)
+    ap_p.add_argument("--cpu", action="store_true",
+                      help="force the CPU backend (a dead axon relay makes "
+                           "jax.devices() hang, CLAUDE.md gotchas; the env "
+                           "var JAX_PLATFORMS is overridden by the plugin "
+                           "so only jax.config works)")
     args = ap_p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.val_tiles:
         tiles, N_IMGS = loader_tiles(args.n_imgs)
