@@ -56,10 +56,45 @@ def proxy_model_config(dtype="float32", content_size=None,
                               num_queries=51, num_heads=4))
 
 
+PROXY_COCO = "/tmp/prof/proxy_ann"  # 4x-scaled boxes (see below); falls
+# back to the bundled annotations when the scaled set hasn't been built.
+#
+# Why scaled boxes: at 1/16 the pixels the bundled geometry shrinks a
+# 40 px animal to ~7 px — sub-patch at patch 16 / 192-content, so the
+# proxy would measure tiny-object difficulty instead of pad-token drift.
+# Scaling boxes 4x restores the full-scale object-to-patch ratio
+# (~1-2 patches per animal). The drift methodology is unchanged — the
+# synthetic renderer draws whatever geometry the annotations carry.
+
+
 def proxy_data_config():
-    return DataConfig(synthetic=True, synthetic_size=256, resize_size=192,
-                      canvas_size=256, batch_size=8, flip_prob=0.5,
-                      num_workers=0)
+    import os
+    coco = PROXY_COCO if os.path.exists(f"{PROXY_COCO}/train.json") \
+        else DataConfig.coco_path
+    return DataConfig(coco_path=coco, synthetic=True, synthetic_size=256,
+                      resize_size=192, canvas_size=256, batch_size=8,
+                      flip_prob=0.5, num_workers=0)
+
+
+def build_scaled_annotations(src_dir, out_dir=PROXY_COCO, factor=4.0):
+    """Derive the proxy annotation set: boxes scaled `factor`x around their
+    centers (capped at 30% of the image side, clamped in-bounds)."""
+    import json
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    for split in ("train", "val"):
+        d = json.load(open(f"{src_dir}/{split}.json"))
+        dims = {im["id"]: (im["width"], im["height"]) for im in d["images"]}
+        for a in d["annotations"]:
+            x, y, w, h = a["bbox"]
+            cx, cy = x + w / 2, y + h / 2
+            iw, ih = dims[a["image_id"]]
+            w2, h2 = min(w * factor, iw * 0.3), min(h * factor, ih * 0.3)
+            x2 = min(max(cx - w2 / 2, 0), iw - w2)
+            y2 = min(max(cy - h2 / 2, 0), ih - h2)
+            a["bbox"] = [x2, y2, w2, h2]
+            a["area"] = w2 * h2
+        json.dump(d, open(f"{out_dir}/{split}.json", "w"))
 
 
 def train_proxy(workdir, epochs, eval_every, resume):
@@ -67,7 +102,7 @@ def train_proxy(workdir, epochs, eval_every, resume):
 
     cfg = Config(model=proxy_model_config("bfloat16"),
                  data=proxy_data_config(),
-                 train=TrainConfig(lr=1e-4, epochs=epochs, lr_drop=25,
+                 train=TrainConfig(lr=1e-4, epochs=epochs, lr_drop=40,
                                    clip_max_norm=1.0, use_amp=True,
                                    freeze_encoder=False,
                                    eval_every=eval_every,
@@ -152,6 +187,13 @@ def main():
     ap.add_argument("--skip_train", action="store_true",
                     help="measure drift on an existing work_dir checkpoint")
     args = ap.parse_args()
+
+    import os
+    if not os.path.exists(f"{PROXY_COCO}/train.json"):
+        from wildlifemapper_tpu.data.coco import resolve_ann_file
+        src = os.path.dirname(resolve_ann_file(
+            DataConfig.coco_path + "/train.json"))
+        build_scaled_annotations(src)
 
     if not args.skip_train:
         train_proxy(args.work_dir, args.epochs, args.eval_every, args.resume)
