@@ -109,12 +109,6 @@ class CocoEvaluator:
                 "boxes": np.asarray(pred["boxes"], dtype=np.float64).reshape(-1, 4),
             }
 
-    def merge(self, others: List["CocoEvaluator"]):
-        """Cross-process merge (replaces the pickle all_gather of eval_imgs,
-        inference.py:240-259 / misc.py:180-220)."""
-        for o in others:
-            self.update(o._dts)
-
     # ---- core evaluation -------------------------------------------------
 
     def _gt_for(self, img_id: int, cat_id: int):
@@ -130,25 +124,46 @@ class CocoEvaluator:
         iscrowd = np.asarray([a.get("iscrowd", 0) for a in anns], dtype=bool)
         return boxes, areas, iscrowd
 
-    def _evaluate_img(self, img_id: int, cat_id: int, area_rng, max_det: int):
+    def _img_cat(self, img_id: int, cat_id: int):
+        """Area-independent work for one (image, category): parsed GT,
+        score-sorted top-maxDets[-1] detections, and the IoU matrix —
+        pycocotools computes these once and reuses them across all area
+        ranges and maxDets (computeIoU is keyed (img, cat) only)."""
         gboxes, gareas, gcrowd = self._gt_for(img_id, cat_id)
         dt = self._dts[img_id]
         sel = dt["labels"] == cat_id
         dscores, dboxes = dt["scores"][sel], dt["boxes"][sel]
         if len(gboxes) == 0 and len(dscores) == 0:
             return None
+        dt_order = np.argsort(-dscores, kind="mergesort")[:MAX_DETS[-1]]
+        dscores, dboxes = dscores[dt_order], dboxes[dt_order]
+        dareas = (dboxes[:, 2] - dboxes[:, 0]) * (dboxes[:, 3] - dboxes[:, 1])
+        return {
+            "gareas": gareas, "gcrowd": gcrowd,
+            "scores": dscores, "dareas": dareas,
+            "ious": iou_xyxy(dboxes, gboxes, gcrowd),
+        }
+
+    def _evaluate_img(self, img_id: int, cat_id: int, area_rng,
+                      max_det: int, _cache=None):
+        """One (image, category, area) evaluation at `max_det` detections.
+
+        Greedy matching is prefix-stable in det-score order (dt d's match
+        depends only on higher-scored dts), so matching once at
+        maxDets[-1] and slicing columns for smaller maxDets is exactly
+        pycocotools' accumulate()-side slicing."""
+        e = _cache if _cache is not None else self._img_cat(img_id, cat_id)
+        if e is None:
+            return None
+        gareas, gcrowd = e["gareas"], e["gcrowd"]
+        dscores, dareas = e["scores"], e["dareas"]
 
         g_ignore = gcrowd | (gareas < area_rng[0]) | (gareas > area_rng[1])
         gt_order = np.argsort(g_ignore, kind="mergesort")  # non-ignored first
-        gboxes, gcrowd, g_ignore = (gboxes[gt_order], gcrowd[gt_order],
-                                    g_ignore[gt_order])
+        gcrowd, g_ignore = gcrowd[gt_order], g_ignore[gt_order]
+        ious = e["ious"][:, gt_order]
 
-        dt_order = np.argsort(-dscores, kind="mergesort")[:max_det]
-        dscores, dboxes = dscores[dt_order], dboxes[dt_order]
-        dareas = (dboxes[:, 2] - dboxes[:, 0]) * (dboxes[:, 3] - dboxes[:, 1])
-
-        ious = iou_xyxy(dboxes, gboxes, gcrowd)
-        T, D, G = len(IOU_THRS), len(dscores), len(gboxes)
+        T, D, G = len(IOU_THRS), len(dscores), ious.shape[1]
         native_result = None
         if D and G:
             from .. import native
@@ -160,8 +175,8 @@ class CocoEvaluator:
         out_of_rng = (dareas < area_rng[0]) | (dareas > area_rng[1])
         dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
         return {
-            "scores": dscores, "dtm": dtm, "dt_ig": dt_ig,
-            "g_ignore": g_ignore,
+            "scores": dscores[:max_det], "dtm": dtm[:, :max_det],
+            "dt_ig": dt_ig[:, :max_det], "g_ignore": g_ignore,
         }
 
     def accumulate(self):
@@ -170,12 +185,22 @@ class CocoEvaluator:
         self.precision = -np.ones((T, R, K, A, M))
         self.recall = -np.ones((T, K, A, M))
         area_items = list(AREA_RNGS.values())
+        max_det_last = MAX_DETS[-1]
         for ki, cat in enumerate(self.cat_ids):
+            caches = {i: self._img_cat(i, cat) for i in self.img_ids}
             for ai, rng in enumerate(area_items):
+                # match once per (img, area) at the largest maxDet; smaller
+                # maxDets slice the det columns (prefix-stable, see
+                # _evaluate_img docstring)
+                full = [self._evaluate_img(i, cat, rng, max_det_last,
+                                           _cache=caches[i])
+                        for i in self.img_ids]
+                full = [e for e in full if e is not None]
                 for mi, max_det in enumerate(MAX_DETS):
-                    evs = [self._evaluate_img(i, cat, rng, max_det)
-                           for i in self.img_ids]
-                    evs = [e for e in evs if e is not None]
+                    evs = [{"scores": e["scores"][:max_det],
+                            "dtm": e["dtm"][:, :max_det],
+                            "dt_ig": e["dt_ig"][:, :max_det],
+                            "g_ignore": e["g_ignore"]} for e in full]
                     if not evs:
                         continue
                     scores = np.concatenate([e["scores"] for e in evs])

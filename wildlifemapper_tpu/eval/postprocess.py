@@ -54,13 +54,14 @@ def postprocess(outputs, orig_sizes, confidence_threshold: float = 0.05,
 
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
                 keep: jnp.ndarray, iou_threshold: float = 0.4,
-                class_aware: bool = True) -> jnp.ndarray:
+                class_aware: bool = False) -> jnp.ndarray:
     """Greedy NMS over fixed-size candidate sets, vmapped over batch.
 
     boxes (B, Q, 4) xyxy, scores (B, Q), labels (B, Q), keep (B, Q) initial
-    mask. Returns the surviving mask (B, Q). torchvision.ops.nms is
-    class-agnostic as called by the reference (visualize_prediction.py:154
-    passes all classes together) — set class_aware=False to replicate.
+    mask. Returns the surviving mask (B, Q). Class-agnostic BY DEFAULT —
+    torchvision.ops.nms as called by the reference passes all classes
+    together (visualize_prediction.py:154), and CLAUDE.md's convention is
+    reference quirks by default; class_aware=True is the opt-in fix.
     """
 
     def one(b, s, l, k):

@@ -116,6 +116,14 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
     num_boxes = jnp.maximum(jnp.sum(targets["valid"].astype(jnp.float32)), 1.0)
 
     # --- classification loss (weighted CE, build_sam.py:93-107) -----------
+    # The no-object class is the LAST logit (reference sizes the head
+    # num_classes+1, build_sam.py:273). Target index and eos weighting must
+    # agree on it — a head sized independently of num_classes would
+    # otherwise train a real-class logit as "background" silently.
+    assert num_classes == num_logits - 1, (
+        f"pred_logits has {num_logits} classes but criterion got "
+        f"num_classes={num_classes}; the no-object slot must be the last "
+        "logit (num_logits == num_classes + 1)")
     tgt_labels = jnp.take_along_axis(targets["labels"], match_cols, axis=1)
     target_classes = jnp.where(matched, tgt_labels, num_classes)  # (B, Q)
     log_prob = jax.nn.log_softmax(logits, axis=-1)
@@ -123,7 +131,7 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
         log_prob, target_classes[..., None], axis=-1)[..., 0]     # (B, Q)
     # empty_weight: 1 for real classes, eos_coef for the no-object slot;
     # torch's weighted CE normalizes by the sum of selected weights.
-    w = jnp.where(target_classes == num_logits - 1, cfg.eos_coef, 1.0)
+    w = jnp.where(target_classes == num_classes, cfg.eos_coef, 1.0)
     if row_valid is not None:
         w = w * row_valid[:, None]  # padded rows: 0 numerator AND denominator
     loss_ce = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-9)
@@ -176,9 +184,8 @@ def set_criterion(outputs: Dict[str, jnp.ndarray],
     # Deep supervision: replicate matching + losses per intermediate layer
     # (build_sam.py:195-208; inactive in the reference, functional here).
     for i, aux in enumerate(outputs.get("aux_outputs", [])):
-        aux_losses = set_criterion(
-            {k: v for k, v in aux.items()}, targets, cfg, num_classes,
-            row_valid=row_valid)
+        aux_losses = set_criterion(aux, targets, cfg, num_classes,
+                                   row_valid=row_valid)
         out[f"loss_ce_{i}"] = aux_losses["loss_ce"]
         out[f"loss_bbox_{i}"] = aux_losses["loss_bbox"]
         out[f"loss_giou_{i}"] = aux_losses["loss_giou"]
