@@ -88,14 +88,15 @@ def map_vs(gt_dets, pred_dets):
     return s["AP"], s["AP50"]
 
 
-def loader_tiles(n):
+def loader_tiles(n, coco_path=None):
     """Val-split tiles rendered by the training loader itself (same
     synthetic distribution a trained checkpoint saw), preprocessed
     exactly as eval does (resize 768, normalize, 1024 canvas, no flip)."""
     from wildlifemapper_tpu.config import DataConfig
     from wildlifemapper_tpu.data.loader import build_dataset
 
-    cfg = DataConfig(synthetic=True, flip_prob=0.0)
+    cfg = DataConfig(synthetic=True, flip_prob=0.0,
+                     coco_path=coco_path or DataConfig.coco_path)
     ds = build_dataset("val", cfg)
     n = min(n, len(ds))
     exs = [ds.get(i) for i in range(n)]
@@ -119,6 +120,10 @@ def main():
                       help="use loader-rendered val-split tiles instead of "
                            "the script's own synthetic field")
     ap_p.add_argument("--n_imgs", type=int, default=N_IMGS)
+    ap_p.add_argument("--coco_path", default=None,
+                      help="annotation dir for --val_tiles (use the set the "
+                           "checkpoint was trained on, e.g. a scaled-box "
+                           "set from scripts/build_scaled_ann.py)")
     ap_p.add_argument("--cpu", action="store_true",
                       help="force the CPU backend (a dead axon relay makes "
                            "jax.devices() hang, CLAUDE.md gotchas; the env "
@@ -129,7 +134,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     if args.val_tiles:
-        tiles, N_IMGS = loader_tiles(args.n_imgs)
+        tiles, N_IMGS = loader_tiles(args.n_imgs, args.coco_path)
     else:
         N_IMGS = args.n_imgs
         tiles = synth_tiles(np.random.default_rng(0), N_IMGS)

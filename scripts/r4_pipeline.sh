@@ -33,8 +33,17 @@ mkdir -p "$PROF"
 # reuse stage 1's (10-25 min) remote compiles instead of repeating them.
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PROF/jax_cache}"
 
+# Factor-4 boxes: ~28 px at 768-content (~1.7 patches/animal), the
+# convergence-feasible from-scratch benchmark geometry. The bundled
+# sub-patch (~7 px) geometry needs SAM-pretrained features the egress
+# block withholds; from-scratch on it plateaus at GIoU<=0 (PERF.md r4).
+ANN=${ANN:-$PROF/ann_x4}
+[ -f "$ANN/train.json" ] || python scripts/build_scaled_ann.py \
+    --out "$ANN" --factor 4
+
 TRAIN_ARGS=(--synthetic_data --use_amp --train_encoder --clip_max_norm 1.0
             --batch_size 8 --device_normalize --epochs "$EPOCHS"
+            --coco_path "$ANN" --aux_loss
             --eval_every 5 --checkpoint_every 10 --use_wandb
             --work_dir "$WORK")
 
@@ -63,7 +72,7 @@ fi
 echo "[$(stamp)] STAGE 2: conjunction evidence"
 bash scripts/tpu_watch.sh || exit 1
 python scripts/conjunction.py --orbax_checkpoint "$WORK/best_checkpoint" \
-  > "$PROF/r4_conjunction.log" 2>&1
+  --coco_path "$ANN" > "$PROF/r4_conjunction.log" 2>&1
 echo "[$(stamp)] stage 2 rc=$? (verdict: tail -1 $PROF/r4_conjunction.log)"
 
 echo "[$(stamp)] STAGE 3a: per-op traces (parity + crop tiers)"

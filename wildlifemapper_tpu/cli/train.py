@@ -83,6 +83,12 @@ def add_config_args(p: argparse.ArgumentParser):
                         "parallelism for augmentation on multi-core hosts")
     # model knobs the reference hardcodes
     p.add_argument("--num_queries", type=int, default=51)
+    p.add_argument("--aux_loss", action="store_true",
+                   help="deep supervision on intermediate decoder layers "
+                        "(reference train.py:67 defaults this True but its "
+                        "BoxDecoder is built with aux_loss=False — "
+                        "box_decoder.py:26 — so the reference never "
+                        "computes it; functional here, adds no params)")
     p.add_argument("--hfc_rate", type=float, default=0.125)
     p.add_argument("--no_flash_attention", action="store_true")
     p.add_argument("--content_size", type=int, default=None,
@@ -144,7 +150,9 @@ def config_from_args(args) -> Config:
             model.hfc, rate=args.hfc_rate,
             compat_scrambled_reshape=not fix_scramble),
         decoder=dataclasses.replace(model.decoder,
-                                    num_queries=args.num_queries))
+                                    num_queries=args.num_queries,
+                                    aux_loss=getattr(args, "aux_loss",
+                                                     False)))
     return Config(
         model=model,
         criterion=MatchCriterionConfig(
