@@ -109,6 +109,40 @@ def test_synthetic_size_scales_render():
     assert (b >= 0).all() and (b <= 1).all()
 
 
+def test_scaled_synthetic_index_matches_rendered_frame():
+    """With synthetic_size, `dataset.index` (the GT that evaluate() scores
+    against) must live in the rendered frame, not the annotation file's
+    original one — perfect predictions read from the index itself must
+    score AP 1.0. Regression: the unscaled index made every scaled-proxy
+    eval read AP=0 (round 4)."""
+    from wildlifemapper_tpu.config import DataConfig
+    from wildlifemapper_tpu.data.loader import build_dataset
+    from wildlifemapper_tpu.eval.coco_eval import CocoEvaluator
+
+    dc = DataConfig(synthetic=True, synthetic_size=256, resize_size=192,
+                    canvas_size=256, flip_prob=0.0)
+    ds = build_dataset("val", dc)
+    some = [i for i in ds.index.ids[:16] if ds.index.annotations(i)]
+    assert some, "bundled val split should have annotated images"
+    preds = {}
+    for iid in some:
+        info = ds.index.image_info(iid)
+        assert info["width"] == info["height"] == 256
+        anns = ds.index.annotations(iid)
+        boxes = np.array([[a["bbox"][0], a["bbox"][1],
+                           a["bbox"][0] + a["bbox"][2],
+                           a["bbox"][1] + a["bbox"][3]] for a in anns])
+        assert (boxes >= 0).all() and (boxes <= 256).all(), \
+            "index annotations must be in the rendered 256px frame"
+        preds[iid] = {"boxes": boxes,
+                      "scores": np.ones(len(anns), np.float32),
+                      "labels": np.array([a["category_id"] for a in anns])}
+    ev = CocoEvaluator(ds.index)
+    ev.update(preds)
+    ev.accumulate()
+    assert ev.summarize()["AP"] >= 0.99
+
+
 def test_pad_targets_truncates():
     boxes = np.random.default_rng(0).uniform(size=(100, 4)).astype(np.float32)
     labels = np.ones(100, dtype=np.int32)

@@ -93,6 +93,64 @@ def _synthetic_for(info, image_id: int, anns,
     return _synthetic_image(image_id, w, h, anns), anns
 
 
+class _ScaledIndexView:
+    """CocoIndex view with all geometry rescaled into the rendered
+    `synthetic_size` frame.
+
+    Scaled synthetic proxies render every tile at `synthetic_size`, so the
+    targets the dataset serves AND the ground truth `evaluate()` scores
+    against (it reads `dataset.index`) must both live in that frame. The
+    view scales once, at the index level, which keeps the three consumers
+    — tile renderer, target builder, COCO evaluator — coherent by
+    construction. Without it, detections (rendered frame) were matched
+    against raw annotations (original multi-thousand-px frame) and every
+    scaled-proxy eval read AP=0.
+    """
+
+    def __init__(self, inner: CocoIndex, size: int):
+        self._inner = inner
+        self._size = size
+        self.ann_file = inner.ann_file
+        self.categories = inner.categories
+        self.ids = inner.ids
+        self._anns_cache: dict = {}
+        self._info_cache: dict = {}
+
+    def __len__(self):
+        return len(self._inner)
+
+    def max_anns_per_image(self) -> int:
+        return self._inner.max_anns_per_image()
+
+    def image_info(self, image_id: int) -> dict:
+        info = self._info_cache.get(image_id)
+        if info is None:
+            info = dict(self._inner.image_info(image_id),
+                        width=self._size, height=self._size)
+            self._info_cache[image_id] = info
+        return info
+
+    def image_path(self, image_id: int, root: Optional[str]):
+        # Scaled proxies always render: a real file would be in the
+        # original frame and disagree with the rescaled targets/GT.
+        return None
+
+    def annotations(self, image_id: int):
+        anns = self._anns_cache.get(image_id)
+        if anns is None:
+            raw = self._inner.image_info(image_id)
+            sx = self._size / raw.get("width", self._size)
+            sy = self._size / raw.get("height", self._size)
+            anns = [dict(a,
+                         bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
+                               a["bbox"][2] * sx, a["bbox"][3] * sy],
+                         area=float(a.get(
+                             "area", a["bbox"][2] * a["bbox"][3])) * sx * sy)
+                    for a in self._inner.annotations(image_id)]
+            self._anns_cache[image_id] = anns
+        return anns
+
+
 class CocoDetectionDataset:
     """Index-addressable dataset of fixed-shape examples."""
 
@@ -100,6 +158,8 @@ class CocoDetectionDataset:
                  preprocess: PreprocessConfig, synthetic: bool = False,
                  synthetic_size: Optional[int] = None):
         self.index = CocoIndex(ann_file)
+        if synthetic and synthetic_size:
+            self.index = _ScaledIndexView(self.index, synthetic_size)
         self.image_root = image_root
         self.preprocess = preprocess
         self.synthetic = synthetic
