@@ -147,6 +147,24 @@ def val_tiles(n, ann_dir=PROXY_ANN_ROOT):
     return np.stack([ds.get(i)["image"] for i in range(n)]).astype(np.float32)
 
 
+def eval_ap_vs_gt(mc, params, ann_dir):
+    """Val-split AP against the real (scaled) annotations for one tier —
+    the conjunction's metric of record (crop/full AP ratio), complementing
+    the stricter detections-vs-detections drift below."""
+    from wildlifemapper_tpu.data.loader import DataLoader, build_dataset
+    from wildlifemapper_tpu.eval.evaluate import evaluate
+    from wildlifemapper_tpu.train.step import StepBuilder
+
+    dc = dataclasses.replace(proxy_data_config(ann_dir), flip_prob=0.0)
+    cfg = Config(model=mc, data=dc,
+                 train=TrainConfig(use_amp=mc.dtype == "bfloat16"))
+    ds = build_dataset("val", dc)
+    loader = DataLoader(ds, dc.batch_size, shuffle=False, drop_last=False)
+    stats = evaluate(StepBuilder(cfg).jit_eval_step(), params, loader,
+                     ds.index, cfg, print_fn=lambda *a, **k: None)
+    return stats["coco/AP"], stats["coco/AP50"]
+
+
 def run_tier(cfg, params, tiles, batch=8):
     from wildlifemapper_tpu.eval.postprocess import postprocess
     from wildlifemapper_tpu.models import WildlifeMapper
@@ -259,6 +277,17 @@ def main():
         results[tag] = drift_ap(gt, dets, n)
         print(f"{tag}: drift-AP={results[tag]:.4f}", flush=True)
 
+    # AP against the real (scaled) annotations, per tier — the parity
+    # metric of record; its crop/full ratio is the conjunction gate.
+    ap_gt = {}
+    for tag, cfg in tiers:
+        ap_gt[tag] = eval_ap_vs_gt(cfg, params, ann_dir)
+        print(f"{tag}: AP-vs-GT={ap_gt[tag][0]:.4f} "
+              f"AP50={ap_gt[tag][1]:.4f}", flush=True)
+    full_ap, crop_ap = ap_gt["bf16-full"][0], ap_gt["bf16-crop"][0]
+    ratio = crop_ap / full_ap if full_ap > 0 else float("nan")
+    print(f"crop/full AP-vs-GT parity ratio: {ratio:.4f}", flush=True)
+
     # Random-init contrast on the same proxy (the worst-case bound)
     rand = jax.jit(m32.init)(jax.random.PRNGKey(7),
                              jnp.zeros((1, 256, 256, 3)))
@@ -273,6 +302,8 @@ def main():
         "experiment": "cpu_proxy_trained_weights_crop_drift",
         "geometry": "192-content in 256-canvas (1/16 px of 768-in-1024)",
         "trained": results, "random_init_crop": rand_drift,
+        "ap_vs_gt": {k: list(v) for k, v in ap_gt.items()},
+        "map_parity_ratio": ratio,
     }))
 
 
