@@ -69,6 +69,10 @@ def add_config_args(p: argparse.ArgumentParser):
     # data/aug
     p.add_argument("--resize_size", type=int, default=768)
     p.add_argument("--canvas_size", type=int, default=1024)
+    p.add_argument("--synthetic_size", type=int, default=None,
+                   help="render synthetic tiles at this size instead of the "
+                        "annotation file's dims (annotations and eval GT are "
+                        "rescaled to match) — scaled-down proxy runs")
     p.add_argument("--flip_prob", type=float, default=0.5)
     p.add_argument("--true_horizontal_flip", action="store_true",
                    help="fix the reference's vertical-flip quirk")
@@ -171,6 +175,7 @@ def config_from_args(args) -> Config:
             flip_is_vertical=not args.true_horizontal_flip,
             use_mosaic=args.mosaic, max_targets=args.max_targets,
             batch_size=args.batch_size, synthetic=args.synthetic_data,
+            synthetic_size=getattr(args, "synthetic_size", None),
             num_workers=getattr(args, "num_workers", 2),
             worker_mode=getattr(args, "worker_mode", "thread"),
             device_normalize=getattr(args, "device_normalize", False)),

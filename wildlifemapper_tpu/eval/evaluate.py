@@ -74,7 +74,37 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     if max_batches:
         n_batches = min(n_batches, max_batches)
     batches = (b for i, b in enumerate(loader.epoch(epoch)) if i < n_batches)
-    first_batch = True
+
+    def consume(batch, dets_dev, losses_dev, is_first: bool):
+        """Host-side half of one batch: sync, meters, overlays, COCO
+        accumulation. Runs one step behind dispatch (below) so device
+        compute overlaps the host's evaluator work — same scheme as the
+        train loop's delayed metric fetch."""
+        dets = jax.device_get(dets_dev)
+        losses = jax.device_get(losses_dev)
+        logger.update(**{k: float(v) for k, v in losses.items()})
+
+        if is_first and logger_backend is not None \
+                and jax.process_index() == 0:
+            # in-training val bbox overlays, first batch / process 0, like
+            # the reference's log_detection_results (wandb_logger.py:169-270,
+            # max 8 images, score > 0.5)
+            _log_first_batch_images(logger_backend, epoch, batch, dets)
+
+        preds = {}
+        for i in range(len(batch["image_id"])):
+            if not batch["batch_valid"][i]:
+                continue
+            keep = np.asarray(dets["keep"][i])
+            preds[int(batch["image_id"][i])] = {
+                "scores": np.asarray(dets["scores"][i])[keep],
+                "labels": np.asarray(dets["labels"][i])[keep],
+                "boxes": np.asarray(dets["boxes"][i])[keep],
+            }
+        evaluator.update(preds)
+
+    pending = None
+    consumed_any = False
     for batch in logger.log_every(batches, 10, header="Eval:",
                                   total=n_batches):
         # "size" must ride along: under device_normalize the jitted step
@@ -94,28 +124,12 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
             dets["keep"] = batched_nms(dets["boxes"], dets["scores"],
                                        dets["labels"], dets["keep"],
                                        cfg.eval.nms_iou, class_aware=False)
-        dets = jax.device_get(dets)
-        logger.update(**{k: float(v) for k, v in losses.items()})
-
-        if first_batch and logger_backend is not None \
-                and jax.process_index() == 0:
-            # in-training val bbox overlays, first batch / process 0, like
-            # the reference's log_detection_results (wandb_logger.py:169-270,
-            # max 8 images, score > 0.5)
-            _log_first_batch_images(logger_backend, epoch, batch, dets)
-        first_batch = False
-
-        preds = {}
-        for i in range(len(batch["image_id"])):
-            if not batch["batch_valid"][i]:
-                continue
-            keep = np.asarray(dets["keep"][i])
-            preds[int(batch["image_id"][i])] = {
-                "scores": np.asarray(dets["scores"][i])[keep],
-                "labels": np.asarray(dets["labels"][i])[keep],
-                "boxes": np.asarray(dets["boxes"][i])[keep],
-            }
-        evaluator.update(preds)
+        if pending is not None:
+            consume(*pending, is_first=not consumed_any)
+            consumed_any = True
+        pending = (batch, dets, losses)
+    if pending is not None:
+        consume(*pending, is_first=not consumed_any)
 
     # cross-process merge (reference: pickle all_gather of eval_imgs,
     # inference.py:240-259) — every process ends with the full result set.
