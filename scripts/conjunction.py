@@ -120,6 +120,7 @@ def main():
     tps = throughput()
 
     crop_drift = drift_ap.get("bf16+crop", float("nan"))
+    crop_drift_serve = drift_ap.get("bf16+crop@serve0.5", float("nan"))
     # mAP-parity of record: both tiers against the SAME real GT — the
     # metric the reference publishes (inference.py:80-88). Drift-AP
     # (detections-vs-detections) is the stricter secondary diagnostic.
@@ -127,6 +128,7 @@ def main():
     verdict = {
         "config": "checkpoint-compat crop (content_size=768, bf16+flash)",
         "drift_ap_vs_f32_full_canvas": crop_drift,
+        "drift_ap_serving_threshold": crop_drift_serve,
         "parity_tier_drift_ap": drift_ap.get("bf16+flash", float("nan")),
         "ap_vs_gt_full_canvas": ap_full,
         "ap_vs_gt_crop": ap_crop,
