@@ -1,20 +1,23 @@
 #!/usr/bin/env bash
 # Round-4 TPU evidence pipeline (VERDICT r3 items 1-3), queued behind the
 # axon-relay watchdog. Stages run strictly sequentially — one TPU process
-# at a time (CLAUDE.md).
+# at a time (CLAUDE.md) — ordered by evidence-value-per-minute so a relay
+# that comes back late in the round still lands the top records:
 #
-#   1. TRAIN   full-canvas WildlifeMapper to convergence on the cached
-#              synthetic tiles (--train_encoder / clip-1.0 recipe), with a
-#              deliberate mid-run SIGTERM and a --resume continuation —
-#              the reference's de-facto integration test (train.py:249-372)
-#              plus the checkpoint/resume proof.
-#   2. CONJ    scripts/conjunction.py on the trained best checkpoint:
+#   1. BENCH   bench.py for a green headline record (VERDICT r3 #2;
+#              needs no checkpoint, ~20 min incl. cold compile).
+#   2. PERF    measure the round-3-queued kernels on hardware:
+#              trace_tiers (rank-3 packed GEMMs + Pallas MLP backward are
+#              on-path), sweep_train_kernels (tile budgets), softmax knob.
+#   3. TRAIN   full-canvas WildlifeMapper on the cached synthetic tiles
+#              (--train_encoder / clip-1.0 recipe), with a deliberate
+#              mid-run SIGTERM and a --resume continuation — the
+#              reference's de-facto integration test (train.py:249-372)
+#              plus the checkpoint/resume proof. Resume leg is bounded;
+#              a partial best_checkpoint still feeds stage 4.
+#   4. CONJ    scripts/conjunction.py on the best checkpoint:
 #              trained-weights crop-vs-full drift-as-mAP, both tiers' AP
 #              vs GT, crop-tier throughput (BASELINE.json north_star).
-#   3. PERF    re-measure the round-3-queued kernels on hardware:
-#              trace_tiers (rank-3 packed GEMMs + Pallas MLP backward are
-#              on-path) and sweep_train_kernels (tile-budget variants).
-#   4. BENCH   bench.py for a green headline record.
 #
 # Usage: nohup scripts/r4_pipeline.sh > /tmp/prof/r4_pipeline.log 2>&1 &
 #        echo $! > /tmp/prof/r4_pipeline.pid
@@ -49,50 +52,54 @@ TRAIN_ARGS=(--synthetic_data --use_amp --train_encoder --clip_max_norm 1.0
 
 stamp() { date -u +%FT%TZ; }
 
+STAGE3B_SECS=${STAGE3B_SECS:-7200}  # resume-leg bound: a partial run still
+                                    # yields best_checkpoint for stage 4
+
 echo "[$(stamp)] waiting for axon relay..."
 bash scripts/tpu_watch.sh || { echo "[$(stamp)] relay never came up"; exit 1; }
 
-echo "[$(stamp)] STAGE 1a: training (will be SIGTERMed at ${STAGE1_SECS}s)"
+echo "[$(stamp)] STAGE 1: headline bench"
+python bench.py > "$PROF/r4_bench.json" 2> "$PROF/r4_bench.err"
+echo "[$(stamp)] stage 1 rc=$?  $(cat "$PROF/r4_bench.json" 2>/dev/null)"
+
+echo "[$(stamp)] STAGE 2a: per-op traces (parity + crop tiers)"
+bash scripts/tpu_watch.sh || exit 1
+python scripts/trace_tiers.py parity crop > "$PROF/r4_trace_tiers.log" 2>&1
+echo "[$(stamp)] stage 2a rc=$?"
+
+echo "[$(stamp)] STAGE 2b: train-kernel sweep"
+bash scripts/tpu_watch.sh || exit 1
+python scripts/sweep_train_kernels.py > "$PROF/r4_sweep_train.log" 2>&1
+echo "[$(stamp)] stage 2b rc=$?"
+
+echo "[$(stamp)] STAGE 2c: serving-softmax knob (bf16 exp) measurement"
+bash scripts/tpu_watch.sh || exit 1
+python scripts/sweep_serving_softmax.py > "$PROF/r4_softmax_knob.log" 2>&1
+echo "[$(stamp)] stage 2c rc=$?"
+
+echo "[$(stamp)] STAGE 3a: training (will be SIGTERMed at ${STAGE1_SECS}s)"
+bash scripts/tpu_watch.sh || exit 1
 timeout -s TERM "$STAGE1_SECS" \
   python -m wildlifemapper_tpu.cli.train "${TRAIN_ARGS[@]}" \
   > "$PROF/r4_train_stage1.log" 2>&1
 rc=$?
-echo "[$(stamp)] stage 1a rc=$rc (124 = killed mid-run, as intended)"
+echo "[$(stamp)] stage 3a rc=$rc (124 = killed mid-run, as intended)"
 
 if [ "$rc" -ne 0 ]; then
-  echo "[$(stamp)] STAGE 1b: --resume from the latest epoch checkpoint"
+  echo "[$(stamp)] STAGE 3b: --resume from the latest epoch checkpoint"
   bash scripts/tpu_watch.sh || exit 1   # relay may have died mid-train
-  python -m wildlifemapper_tpu.cli.train "${TRAIN_ARGS[@]}" --resume \
+  timeout -s TERM "$STAGE3B_SECS" \
+    python -m wildlifemapper_tpu.cli.train "${TRAIN_ARGS[@]}" --resume \
     > "$PROF/r4_train_resume.log" 2>&1
   rc=$?
-  echo "[$(stamp)] stage 1b rc=$rc"
+  echo "[$(stamp)] stage 3b rc=$rc (124 = hit the bound; partial ckpt ok)"
 fi
 [ -d "$WORK/best_checkpoint" ] || { echo "no best_checkpoint; aborting"; exit 1; }
 
-echo "[$(stamp)] STAGE 2: conjunction evidence"
+echo "[$(stamp)] STAGE 4: conjunction evidence"
 bash scripts/tpu_watch.sh || exit 1
 python scripts/conjunction.py --orbax_checkpoint "$WORK/best_checkpoint" \
   --coco_path "$ANN" > "$PROF/r4_conjunction.log" 2>&1
-echo "[$(stamp)] stage 2 rc=$? (verdict: tail -1 $PROF/r4_conjunction.log)"
-
-echo "[$(stamp)] STAGE 3a: per-op traces (parity + crop tiers)"
-bash scripts/tpu_watch.sh || exit 1
-python scripts/trace_tiers.py parity crop > "$PROF/r4_trace_tiers.log" 2>&1
-echo "[$(stamp)] stage 3a rc=$?"
-
-echo "[$(stamp)] STAGE 3b: train-kernel sweep"
-bash scripts/tpu_watch.sh || exit 1
-python scripts/sweep_train_kernels.py > "$PROF/r4_sweep_train.log" 2>&1
-echo "[$(stamp)] stage 3b rc=$?"
-
-echo "[$(stamp)] STAGE 3c: serving-softmax knob (bf16 exp) measurement"
-bash scripts/tpu_watch.sh || exit 1
-python scripts/sweep_serving_softmax.py > "$PROF/r4_softmax_knob.log" 2>&1
-echo "[$(stamp)] stage 3c rc=$?"
-
-echo "[$(stamp)] STAGE 4: headline bench"
-bash scripts/tpu_watch.sh || exit 1
-python bench.py > "$PROF/r4_bench.json" 2> "$PROF/r4_bench.err"
-echo "[$(stamp)] stage 4 rc=$?  $(cat "$PROF/r4_bench.json" 2>/dev/null)"
+echo "[$(stamp)] stage 4 rc=$? (verdict: tail -1 $PROF/r4_conjunction.log)"
 
 echo "[$(stamp)] PIPELINE_COMPLETE"
