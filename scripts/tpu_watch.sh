@@ -24,6 +24,10 @@ PROBE_TIMEOUT="${PROBE_TIMEOUT:-280}"
 MAX_WAIT="${MAX_WAIT:-36000}"
 RELAY_HOST="${RELAY_HOST:-127.0.0.1}"
 RELAY_PORT="${RELAY_PORT:-8113}"
+# Each failed probe costs a full jax import (~30 s of the host's single
+# core). For long overnight waits alongside CPU training, raise POLL_SECS
+# so the watchdog doesn't tax the training loop.
+POLL_SECS="${POLL_SECS:-120}"
 
 once=0
 while [ $# -gt 0 ]; do
@@ -61,5 +65,5 @@ while true; do
     echo "tpu_watch: relay still down after ${MAX_WAIT}s; giving up"
     exit 1
   fi
-  sleep 120
+  sleep "$POLL_SECS"
 done
