@@ -235,6 +235,13 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="measure drift on an existing work_dir checkpoint")
+    ap.add_argument("--checkpoint_trend", default=None,
+                    help="comma-separated epoch numbers: instead of the "
+                         "single best-checkpoint verdict, measure the "
+                         "crop/full parity ratio + drift at each "
+                         "checkpoint_epoch_N in work_dir — the trend over "
+                         "training is the mechanism evidence (pad-token "
+                         "contribution -> 0 as the model converges)")
     args = ap.parse_args()
 
     import os
@@ -255,10 +262,35 @@ def main():
 
     cfg32 = proxy_model_config("float32")
     m32 = WildlifeMapper(cfg32)
-    params = jax.jit(m32.init)(jax.random.PRNGKey(0),
+    init32 = jax.jit(m32.init)(jax.random.PRNGKey(0),
                                jnp.zeros((1, 256, 256, 3)))
+
+    if args.checkpoint_trend:
+        cfg_crop = proxy_model_config("bfloat16", content_size=192)
+        cfg_full = proxy_model_config("bfloat16")
+        tiles = val_tiles(args.n_imgs, ann_dir)
+        rows = []
+        for ep in (int(e) for e in args.checkpoint_trend.split(",")):
+            p = CheckpointManager.load_params(
+                f"{args.work_dir}/checkpoint_epoch_{ep}", init32)
+            gt = run_tier(cfg32, p, tiles)
+            drift = drift_ap(gt, run_tier(cfg_crop, p, tiles), len(tiles))
+            full_ap = eval_ap_vs_gt(cfg_full, p, ann_dir)
+            crop_ap = eval_ap_vs_gt(cfg_crop, p, ann_dir)
+            ratio = crop_ap[0] / full_ap[0] if full_ap[0] > 0 else float("nan")
+            r50 = crop_ap[1] / full_ap[1] if full_ap[1] > 0 else float("nan")
+            rows.append({"epoch": ep, "crop_drift_ap": drift,
+                         "full_ap": full_ap[0], "crop_ap": crop_ap[0],
+                         "parity_ratio": ratio, "parity_ratio_ap50": r50})
+            print(f"epoch {ep}: crop-drift={drift:.4f} "
+                  f"full-AP={full_ap[0]:.4f} crop-AP={crop_ap[0]:.4f} "
+                  f"ratio={ratio:.4f} ratio@50={r50:.4f}", flush=True)
+        print(json.dumps({"experiment": "cpu_proxy_parity_trend",
+                          "rows": rows}))
+        return
+
     params = CheckpointManager.load_params(
-        f"{args.work_dir}/best_checkpoint", params)
+        f"{args.work_dir}/best_checkpoint", init32)
     print("loaded trained proxy params", flush=True)
 
     tiles = val_tiles(args.n_imgs, ann_dir)
