@@ -44,10 +44,14 @@ ANN=${ANN:-$PROF/ann_x4}
 [ -f "$ANN/train.json" ] || python scripts/build_scaled_ann.py \
     --out "$ANN" --factor 4
 
+# checkpoint_every 1, not 10: the stage-3a SIGTERM lands after the first
+# compile + >=1 epoch, and the resume proof needs an epoch checkpoint to
+# exist by then — with every=10 the "--resume" leg would silently retrain
+# from scratch (train/loop.py: latest_epoch()=None -> start_epoch 0).
 TRAIN_ARGS=(--synthetic_data --use_amp --train_encoder --clip_max_norm 1.0
             --batch_size 8 --device_normalize --epochs "$EPOCHS"
             --coco_path "$ANN" --aux_loss
-            --eval_every 5 --checkpoint_every 10 --use_wandb
+            --eval_every 5 --checkpoint_every 1 --use_wandb
             --work_dir "$WORK")
 
 stamp() { date -u +%FT%TZ; }
@@ -86,6 +90,13 @@ rc=$?
 echo "[$(stamp)] stage 3a rc=$rc (124 = killed mid-run, as intended)"
 
 if [ "$rc" -ne 0 ]; then
+  # The resume proof is only a proof if a checkpoint actually exists —
+  # otherwise --resume silently restarts from scratch and the log lies.
+  if ! ls -d "$WORK"/checkpoint_epoch_* >/dev/null 2>&1; then
+    echo "[$(stamp)] NO epoch checkpoint after stage 3a — resume leg would"
+    echo "  retrain from scratch; rerun with a larger STAGE1_SECS instead."
+    exit 1
+  fi
   echo "[$(stamp)] STAGE 3b: --resume from the latest epoch checkpoint"
   bash scripts/tpu_watch.sh || exit 1   # relay may have died mid-train
   timeout -s TERM "$STAGE3B_SECS" \

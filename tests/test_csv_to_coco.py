@@ -128,6 +128,22 @@ def test_default_size_substitutes(tmp_path):
     assert len(coco["annotations"]) == 1
 
 
+def test_half_specified_default_size_rejected(tmp_path):
+    """--default_width without --default_height (or vice versa) must be a
+    CLI error: a (w, None) size crashes later in clamp on the first
+    unprobeable image, and height-only was silently ignored."""
+    from wildlifemapper_tpu.data.csv_to_coco import main
+
+    csv_file = tmp_path / "pts.csv"
+    _write_csv(csv_file, ["images", "x", "y", "labels"],
+               [["ghost.jpg", 10, 10, 1]])
+    base = ["--csv_file", str(csv_file), "--images_dir",
+            str(tmp_path / "none"), "--output_json", str(tmp_path / "o.json")]
+    for half in (["--default_width", "640"], ["--default_height", "480"]):
+        with pytest.raises(SystemExit):
+            main(base + half)
+
+
 def _approx_equal(a, b, path=""):
     """Structural equality with ULP-level float tolerance: pandas' default
     xstrtod CSV float parser (used by the reference) is not correctly

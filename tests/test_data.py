@@ -91,6 +91,27 @@ def test_vendored_annotation_fallback(tmp_path):
         assert idx.dataset["annotations"] == ref_idx.dataset["annotations"]
 
 
+def test_partial_dataset_dir_is_hard_error(tmp_path):
+    """A coco_path that has SOME split files but not the requested one must
+    raise, not silently substitute the vendored Mara split — training on
+    the user's data while scoring per-epoch val against different images
+    would read AP~0 with no failure."""
+    from wildlifemapper_tpu.data.coco import resolve_ann_file
+
+    (tmp_path / "train.json").write_text('{"images": [], "annotations": []}')
+    with pytest.raises(FileNotFoundError, match="partially-present"):
+        resolve_ann_file(str(tmp_path / "val.json"))
+
+
+def test_load_ann_json_reads_vendored_gz(tmp_path):
+    """load_ann_json is the gz-aware loader every script must use; a plain
+    json.load(open(...)) breaks on the vendored bundle."""
+    from wildlifemapper_tpu.data.coco import load_ann_json
+
+    d = load_ann_json(str(tmp_path / "absent" / "val.json"))
+    assert d["images"] and d["annotations"]
+
+
 @pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
 def test_synthetic_size_scales_render():
     """DataConfig.synthetic_size renders tiles at the requested size with

@@ -30,6 +30,21 @@ def resolve_ann_file(path: str) -> str:
         return str(p)
     if Path(str(p) + ".gz").exists():
         return str(p) + ".gz"
+    # A directory that has OTHER split files but not this one is a
+    # partially-populated user dataset (e.g. a csv_to_coco output with only
+    # train.json): substituting the vendored split would score/train every
+    # epoch against GT for entirely different images while the run appears
+    # healthy. Hard error; the fallback is only for a fully absent dataset.
+    if p.parent.is_dir():
+        siblings = [q.name for q in p.parent.iterdir()
+                    if q.name.endswith((".json", ".json.gz"))
+                    and q.name != p.name]
+        if siblings:
+            raise FileNotFoundError(
+                f"annotation file {path} not found, but {p.parent} contains "
+                f"{siblings} — refusing to substitute the vendored bundle "
+                f"for one split of a partially-present dataset. Add the "
+                f"missing split or point --coco_path elsewhere.")
     for cand in (ASSETS_DIR / p.name, ASSETS_DIR / (p.name + ".gz")):
         if cand.exists():
             import warnings
@@ -40,6 +55,16 @@ def resolve_ann_file(path: str) -> str:
                 RuntimeWarning, stacklevel=3)
             return str(cand)
     return str(p)  # let open() raise the natural FileNotFoundError
+
+
+def load_ann_json(path: str) -> dict:
+    """Resolve (incl. .gz sibling / vendored bundle) and parse a COCO
+    annotation file. The one loader every script should use — plain
+    `json.load(open(...))` breaks on the gzipped vendored bundle."""
+    ann_file = resolve_ann_file(path)
+    opener = gzip.open if ann_file.endswith(".gz") else open
+    with opener(ann_file, "rt") as f:
+        return json.load(f)
 
 
 class CocoIndex:

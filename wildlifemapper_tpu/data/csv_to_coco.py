@@ -179,6 +179,10 @@ def main(argv=None):
     p.add_argument("--default_width", type=int, default=None)
     p.add_argument("--default_height", type=int, default=None)
     args = p.parse_args(argv)
+    if (args.default_width is None) != (args.default_height is None):
+        p.error("--default_width and --default_height must be given "
+                "together (a half-specified size would crash on the first "
+                "unprobeable image)")
     default_size = ((args.default_width, args.default_height)
                     if args.default_width else None)
     coco = convert_csv_to_coco(args.csv_file, args.images_dir,

@@ -79,17 +79,12 @@ def _synthetic_image(image_id: int, width: int, height: int,
     return Image.fromarray(arr.clip(0, 255).astype(np.uint8), mode="RGB")
 
 
-def _synthetic_for(info, image_id: int, anns,
-                   synthetic_size: Optional[int]):
-    """Render the synthetic tile for one image record; returns
-    (image, annotations scaled to the rendered size)."""
-    w0, h0 = info.get("width", 1024), info.get("height", 1024)
-    w, h = synthetic_size or w0, synthetic_size or h0
-    if (w, h) != (w0, h0):  # keep annotations geometrically valid
-        sx, sy = w / w0, h / h0
-        anns = [dict(a, bbox=[a["bbox"][0] * sx, a["bbox"][1] * sy,
-                              a["bbox"][2] * sx, a["bbox"][3] * sy])
-                for a in anns]
+def _synthetic_for(info, image_id: int, anns):
+    """Render the synthetic tile for one image record at the index's
+    frame. All geometry scaling (synthetic_size proxies) happens once, in
+    _ScaledIndexView — `info`/`anns` arrive here already in the rendered
+    frame, so rescaling again would double-scale."""
+    w, h = info.get("width", 1024), info.get("height", 1024)
     return _synthetic_image(image_id, w, h, anns), anns
 
 
@@ -222,8 +217,7 @@ class CocoDetectionDataset:
                     self._synth_cache[i] = cached
             if cached is not None:
                 return cached
-            img, anns = _synthetic_for(info, image_id, anns,
-                                       self.synthetic_size)
+            img, anns = _synthetic_for(info, image_id, anns)
         else:
             raise FileNotFoundError(
                 f"image {info['file_name']} not found under {self.image_root}; "
