@@ -16,21 +16,11 @@ import numpy as np
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from wildlifemapper_tpu.config import model_config
-from wildlifemapper_tpu.eval.coco_eval import CocoEvaluator
-from wildlifemapper_tpu.eval.postprocess import postprocess
-from wildlifemapper_tpu.models import WildlifeMapper
+from wildlifemapper_tpu.eval.drift import drift_summary, run_detections
+from wildlifemapper_tpu.models import WildlifeMapper  # noqa: F401 — m32 init
 
 N_IMGS = 16
 B = 4
-
-
-class Index:
-    def __init__(self, anns_by_img, cats):
-        self._anns = anns_by_img
-        self.categories = [{"id": int(c)} for c in cats]
-
-    def annotations(self, img_id):
-        return self._anns.get(img_id, [])
 
 
 def synth_tiles(rng, n):
@@ -49,42 +39,11 @@ def synth_tiles(rng, n):
 
 
 def run(cfg, params, tiles):
-    model = WildlifeMapper(cfg)
-
-    @jax.jit
-    def fwd(p, x, sz):
-        return postprocess(model.apply(p, x), sz, 0.05)
-
-    outs = []
-    sizes = jnp.full((B, 2), 1024, jnp.int32)
-    for i in range(0, len(tiles), B):
-        outs.append(jax.device_get(
-            fwd(params, jnp.asarray(tiles[i:i + B]), sizes)))
-    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    return run_detections(cfg, params, tiles, batch=B, img_size=1024)
 
 
 def map_vs(gt_dets, pred_dets, gt_thresh=0.3):
-    anns, cats = {}, set()
-    for i in range(N_IMGS):
-        keep = gt_dets["scores"][i] > gt_thresh
-        b = gt_dets["boxes"][i][keep]
-        labs = gt_dets["labels"][i][keep]
-        anns[i] = [{"bbox": [b[j, 0], b[j, 1], b[j, 2] - b[j, 0],
-                             b[j, 3] - b[j, 1]],
-                    "area": float((b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])),
-                    "category_id": int(labs[j]), "iscrowd": 0}
-                   for j in range(len(b))]
-        cats |= set(int(l) for l in labs)
-    ev = CocoEvaluator(Index(anns, sorted(cats or {1})))
-    preds = {}
-    for i in range(N_IMGS):
-        k = pred_dets["scores"][i] > 0.05
-        preds[i] = {"boxes": pred_dets["boxes"][i][k],
-                    "scores": pred_dets["scores"][i][k],
-                    "labels": pred_dets["labels"][i][k]}
-    ev.update(preds)
-    ev.accumulate()
-    s = ev.summarize()
+    s = drift_summary(gt_dets, pred_dets, N_IMGS, gt_thresh=gt_thresh)
     return s["AP"], s["AP50"]
 
 
@@ -139,10 +98,7 @@ def main():
         N_IMGS = args.n_imgs
         tiles = synth_tiles(np.random.default_rng(0), N_IMGS)
 
-    pad = (-len(tiles)) % B
-    if pad:  # fixed-shape batches; map_vs only reads the first N_IMGS
-        tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad, axis=0)])
-
+    # run_detections pads the tail batch itself and trims the output.
     cfg32 = model_config("vit_b", dtype="float32")
     cfg16 = model_config("vit_b", dtype="bfloat16", use_flash_attention=True)
     cfg_crop = dataclasses.replace(cfg16, content_size=768)

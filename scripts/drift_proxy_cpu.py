@@ -97,9 +97,13 @@ def build_scaled_annotations(src_dir, out_dir=PROXY_ANN_ROOT, factor=4.0,
     convergence runs); val is never subset."""
     import json
     import os
+
+    from wildlifemapper_tpu.data.coco import load_ann_json
     os.makedirs(out_dir, exist_ok=True)
     for split in ("train", "val"):
-        d = json.load(open(f"{src_dir}/{split}.json"))
+        # load_ann_json, not open(): the standalone package resolves these
+        # to the gzipped vendored bundle (assets/coco_annotations/*.json.gz)
+        d = load_ann_json(f"{src_dir}/{split}.json")
         if split == "train" and n_train:
             d["images"] = d["images"][:n_train]
             keep = {im["id"] for im in d["images"]}
@@ -166,55 +170,13 @@ def eval_ap_vs_gt(mc, params, ann_dir):
 
 
 def run_tier(cfg, params, tiles, batch=8):
-    from wildlifemapper_tpu.eval.postprocess import postprocess
-    from wildlifemapper_tpu.models import WildlifeMapper
-
-    model = WildlifeMapper(cfg)
-
-    @jax.jit
-    def fwd(p, x, sz):
-        return postprocess(model.apply(p, x), sz, 0.05)
-
-    pad = (-len(tiles)) % batch
-    padded = np.concatenate([tiles, np.repeat(tiles[-1:], pad, axis=0)]) \
-        if pad else tiles
-    sizes = jnp.full((batch, 2), cfg.img_size, jnp.int32)
-    outs = []
-    for i in range(0, len(padded), batch):
-        outs.append(jax.device_get(
-            fwd(params, jnp.asarray(padded[i:i + batch]), sizes)))
-    dets = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
-    return {k: v[:len(tiles)] for k, v in dets.items()}
+    from wildlifemapper_tpu.eval.drift import run_detections
+    return run_detections(cfg, params, tiles, batch=batch)
 
 
-def drift_ap(gt_dets, pred_dets, n):
-    from wildlifemapper_tpu.eval.coco_eval import CocoEvaluator
-
-    class Index:
-        def __init__(self, anns, cats):
-            self._anns, self.categories = anns, [{"id": int(c)} for c in cats]
-
-        def annotations(self, img_id):
-            return self._anns.get(img_id, [])
-
-    anns, cats = {}, set()
-    for i in range(n):
-        keep = gt_dets["scores"][i] > 0.3
-        b = gt_dets["boxes"][i][keep]
-        labs = gt_dets["labels"][i][keep]
-        anns[i] = [{"bbox": [b[j, 0], b[j, 1], b[j, 2] - b[j, 0],
-                             b[j, 3] - b[j, 1]],
-                    "area": float((b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])),
-                    "category_id": int(labs[j]), "iscrowd": 0}
-                   for j in range(len(b))]
-        cats |= set(int(l) for l in labs)
-    ev = CocoEvaluator(Index(anns, sorted(cats or {1})))
-    ev.update({i: {"boxes": pred_dets["boxes"][i][pred_dets["scores"][i] > 0.05],
-                   "scores": pred_dets["scores"][i][pred_dets["scores"][i] > 0.05],
-                   "labels": pred_dets["labels"][i][pred_dets["scores"][i] > 0.05]}
-               for i in range(n)})
-    ev.accumulate()
-    return ev.summarize()["AP"]
+def drift_ap(gt_dets, pred_dets, n, gt_thresh=0.3):
+    from wildlifemapper_tpu.eval.drift import drift_summary
+    return drift_summary(gt_dets, pred_dets, n, gt_thresh=gt_thresh)["AP"]
 
 
 def main():
@@ -274,15 +236,19 @@ def main():
             p = CheckpointManager.load_params(
                 f"{args.work_dir}/checkpoint_epoch_{ep}", init32)
             gt = run_tier(cfg32, p, tiles)
-            drift = drift_ap(gt, run_tier(cfg_crop, p, tiles), len(tiles))
+            crop_dets = run_tier(cfg_crop, p, tiles)
+            drift = drift_ap(gt, crop_dets, len(tiles))
+            drift05 = drift_ap(gt, crop_dets, len(tiles), gt_thresh=0.5)
             full_ap = eval_ap_vs_gt(cfg_full, p, ann_dir)
             crop_ap = eval_ap_vs_gt(cfg_crop, p, ann_dir)
             ratio = crop_ap[0] / full_ap[0] if full_ap[0] > 0 else float("nan")
             r50 = crop_ap[1] / full_ap[1] if full_ap[1] > 0 else float("nan")
             rows.append({"epoch": ep, "crop_drift_ap": drift,
+                         "crop_drift_serve05": drift05,
                          "full_ap": full_ap[0], "crop_ap": crop_ap[0],
                          "parity_ratio": ratio, "parity_ratio_ap50": r50})
             print(f"epoch {ep}: crop-drift={drift:.4f} "
+                  f"(@serve0.5 {drift05:.4f}) "
                   f"full-AP={full_ap[0]:.4f} crop-AP={crop_ap[0]:.4f} "
                   f"ratio={ratio:.4f} ratio@50={r50:.4f}", flush=True)
         print(json.dumps({"experiment": "cpu_proxy_parity_trend",
@@ -303,11 +269,15 @@ def main():
              ("bf16-full", proxy_model_config("bfloat16")),
              ("bf16-crop", proxy_model_config("bfloat16",
                                               content_size=192))]
-    results = {}
+    results, results_serve = {}, {}
     for tag, cfg in tiers:
         dets = run_tier(cfg, params, tiles)
         results[tag] = drift_ap(gt, dets, n)
-        print(f"{tag}: drift-AP={results[tag]:.4f}", flush=True)
+        # Serving-threshold pseudo-GT (0.5, visualize_prediction.py:150) —
+        # same rows drift_map.py reports, methodology shared via eval/drift.
+        results_serve[tag] = drift_ap(gt, dets, n, gt_thresh=0.5)
+        print(f"{tag}: drift-AP={results[tag]:.4f} "
+              f"(@serve0.5 {results_serve[tag]:.4f})", flush=True)
 
     # AP against the real (scaled) annotations, per tier — the parity
     # metric of record; its crop/full ratio is the conjunction gate.
@@ -333,7 +303,8 @@ def main():
     print(json.dumps({
         "experiment": "cpu_proxy_trained_weights_crop_drift",
         "geometry": "192-content in 256-canvas (1/16 px of 768-in-1024)",
-        "trained": results, "random_init_crop": rand_drift,
+        "trained": results, "trained_serve05": results_serve,
+        "random_init_crop": rand_drift,
         "ap_vs_gt": {k: list(v) for k, v in ap_gt.items()},
         "map_parity_ratio": ratio,
     }))
