@@ -26,6 +26,11 @@ A100_REF_TILES_PER_SEC = 25.0
 # "TPU environment gotchas"), which turned round 3's bench record into an
 # rc=1 timeout. Probe in a bounded subprocess first so a dead relay yields
 # an honest "blocked" record instead of a hang.
+#
+# This mirrors scripts/tpu_watch.sh's probe (port 8113, 280 s bound) but
+# stays inline on purpose: bench.py is the driver's round gate and must
+# not depend on a second file being present/executable. Keep the port and
+# timeout in sync with tpu_watch.sh when either changes.
 PROBE_TIMEOUT_S = 280
 
 

@@ -55,6 +55,27 @@ def test_gt_thresh_drops_low_confidence_pseudo_gt():
     assert drift_summary(gt, pred, 2, gt_thresh=0.5)["AP"] == 1.0
 
 
+def test_run_detections_pads_and_trims_tail_batch():
+    """5 tiles through batch 4: the tail batch is padded for fixed shapes
+    and the output trimmed back to 5; self-drift over the result is 1.0."""
+    import jax
+
+    from tests.test_model import tiny_config
+    from wildlifemapper_tpu.eval.drift import run_detections
+    from wildlifemapper_tpu.models import WildlifeMapper
+
+    cfg = tiny_config()
+    m = WildlifeMapper(cfg)
+    tiles = np.random.default_rng(0).normal(
+        size=(5, 64, 64, 3)).astype(np.float32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), tiles[:1])
+    dets = run_detections(cfg, params, tiles, batch=4)
+    assert dets["boxes"].shape == (5, 7, 4)
+    assert dets["scores"].shape == (5, 7)
+    s = drift_summary(dets, dets, n=5, gt_thresh=0.0)
+    assert s["AP"] == 1.0
+
+
 def test_shifted_boxes_degrade_strict_iou_first():
     gt = _dets(BOXES, [[0.9, 0.8], [0.7]], [[1, 2], [1]])
     shifted = [[[b[0] + 3, b[1] + 3, b[2] + 3, b[3] + 3] for b in img]
