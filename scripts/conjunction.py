@@ -102,8 +102,12 @@ def main():
         "--n_imgs", str(args.n_imgs)]
     if args.coco_path:
         drift_cmd += ["--coco_path", args.coco_path]
+    # 2 h bound: the drift leg compiles 3+ full-model programs; uncached
+    # remote compiles run 10-25 min EACH (CLAUDE.md). The pipeline's
+    # shared JAX_COMPILATION_CACHE_DIR usually amortizes this, but the
+    # gate must not die on a cold cache.
     drift = subprocess.run(drift_cmd, capture_output=True, text=True,
-                           timeout=3600)
+                           timeout=7200)
     drift_ap = {}
     for line in drift.stdout.splitlines():
         if ": AP=" in line:
