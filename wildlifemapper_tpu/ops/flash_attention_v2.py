@@ -56,9 +56,12 @@ BWD_TILE_BUDGET = 2 * 1024 * 1024
 # it): run the forward softmax's exp in bf16 instead of f32. The prob tile
 # is cast to bf16 for the PV matmul regardless, so only the normalizer's
 # accuracy drops (rel ~1e-3); the softmax is the kernel's VPU bound
-# (~2.9 of 4.45 ms per crop-tier call). Default OFF — the mAP-exact claim
-# is for f32 softmax; enable only after a measured drift check. Forward
-# only: the backward always recomputes p in f32 from the saved lse.
+# (~2.9 of 4.45 ms per crop-tier call). Measured on-chip (round 4,
+# scripts/sweep_serving_softmax.py): 0.866x — SLOWER than f32 (the bf16
+# exp forces extra convert traffic) and class-prob drift 2.06e-3 exceeds
+# the 1.5e-3 bf16-tier tolerance of record. Permanently OFF; kept only so
+# the sweep script documents the negative result. Forward only: the
+# backward always recomputes p in f32 from the saved lse.
 FAST_SOFTMAX_EXP = False
 
 
