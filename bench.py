@@ -12,6 +12,7 @@ FFT + decoder overhead -> ~25 tiles/sec. BASELINE.json's target is >=5x that
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -19,6 +20,18 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA executable cache: remote axon compiles run 30 s - 25 min
+# cold (CLAUDE.md), and the in-session evidence pipelines
+# (scripts/r4b_evidence.sh) warm this same directory — so a driver bench
+# that runs right after a session reuses those compiles instead of
+# repeating them. Env override wins; failures (read-only fs, old jax)
+# just fall back to cold compiles.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wm_jax_cache")
+    except Exception:
+        pass
 
 A100_REF_TILES_PER_SEC = 25.0
 

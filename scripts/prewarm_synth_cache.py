@@ -13,6 +13,8 @@ import argparse
 import sys
 import time
 
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+
 
 def main() -> int:
     p = argparse.ArgumentParser()
