@@ -92,28 +92,38 @@ def main():
     ap.add_argument("--coco_path", default=None,
                     help="annotation dir the checkpoint was trained on "
                          "(e.g. the scaled-box benchmark set)")
+    ap.add_argument("--skip_drift", action="store_true",
+                    help="skip the drift-as-mAP leg (3+ cold compiles); "
+                         "the stricter diagnostic can run separately — "
+                         "e.g. drift_map.py --cpu concurrently on the "
+                         "host while this process holds the TPU")
+    ap.add_argument("--skip_throughput", action="store_true",
+                    help="skip the crop-tier throughput leg (reuse a "
+                         "recorded bench.py/trace_tiers number instead)")
     args = ap.parse_args()
 
-    # 1. drift-as-mAP with trained weights (subprocess: drift_map builds
-    # several jit programs; isolating keeps this process lean)
-    drift_cmd = [
-        sys.executable, __file__.replace("conjunction.py", "drift_map.py"),
-        "--orbax_checkpoint", args.orbax_checkpoint, "--val_tiles",
-        "--n_imgs", str(args.n_imgs)]
-    if args.coco_path:
-        drift_cmd += ["--coco_path", args.coco_path]
-    # 2 h bound: the drift leg compiles 3+ full-model programs; uncached
-    # remote compiles run 10-25 min EACH (CLAUDE.md). The pipeline's
-    # shared JAX_COMPILATION_CACHE_DIR usually amortizes this, but the
-    # gate must not die on a cold cache.
-    drift = subprocess.run(drift_cmd, capture_output=True, text=True,
-                           timeout=7200)
     drift_ap = {}
-    for line in drift.stdout.splitlines():
-        if ": AP=" in line:
-            tag, rest = line.split(": AP=")
-            drift_ap[tag.strip()] = float(rest.split()[0])
-    print(drift.stdout)
+    if not args.skip_drift:
+        # 1. drift-as-mAP with trained weights (subprocess: drift_map
+        # builds several jit programs; isolating keeps this process lean)
+        drift_cmd = [
+            sys.executable,
+            __file__.replace("conjunction.py", "drift_map.py"),
+            "--orbax_checkpoint", args.orbax_checkpoint, "--val_tiles",
+            "--n_imgs", str(args.n_imgs)]
+        if args.coco_path:
+            drift_cmd += ["--coco_path", args.coco_path]
+        # 2 h bound: the drift leg compiles 3+ full-model programs;
+        # uncached remote compiles run 10-25 min EACH (CLAUDE.md). The
+        # pipeline's shared JAX_COMPILATION_CACHE_DIR usually amortizes
+        # this, but the gate must not die on a cold cache.
+        drift = subprocess.run(drift_cmd, capture_output=True, text=True,
+                               timeout=7200)
+        for line in drift.stdout.splitlines():
+            if ": AP=" in line:
+                tag, rest = line.split(": AP=")
+                drift_ap[tag.strip()] = float(rest.split()[0])
+        print(drift.stdout)
 
     # 2. AP vs annotations, both tiers
     ap_full = eval_ap(args.orbax_checkpoint, coco_path=args.coco_path)
@@ -121,7 +131,7 @@ def main():
                       coco_path=args.coco_path)
 
     # 3. crop-tier throughput
-    tps = throughput()
+    tps = float("nan") if args.skip_throughput else throughput()
 
     crop_drift = drift_ap.get("bf16+crop", float("nan"))
     crop_drift_serve = drift_ap.get("bf16+crop@serve0.5", float("nan"))
