@@ -71,6 +71,11 @@ def backend_reachable() -> bool:
         return False
 
 
+BASELINE_NOTE = ("analytic A100 estimate (25 tiles/sec, BASELINE.md) — "
+                 "the reference publishes no numbers and no A100 is "
+                 "reachable from this environment")
+
+
 def measure(pipeline, params, make_inputs, batches=(8, 16), n_iter=10):
     """Best tiles/sec over `batches`. Raises if EVERY batch size fails to
     compile — the BENCH gate must never record a vacuous 0.0 pass
@@ -114,6 +119,7 @@ def main():
             "value": 0.0,
             "unit": "tiles/sec",
             "vs_baseline": 0.0,
+            "baseline": BASELINE_NOTE,
             "blocked": ("jax backend unreachable (bounded probe, "
                         f"{PROBE_TIMEOUT_S}s) — axon relay down; see "
                         "scripts/tpu_watch.sh"),
@@ -124,35 +130,24 @@ def main():
     from wildlifemapper_tpu.eval.postprocess import batched_nms, postprocess
     from wildlifemapper_tpu.models import WildlifeMapper
 
-    # Production (from-scratch) config: bf16, packed Pallas kernels, full
-    # content crop — the reference pipeline zero-pads 768px content into a
-    # 1024 canvas (misc.py:50) and spends 44% of its FLOPs on pad tokens;
-    # here the whole network runs at content resolution, with window_size
-    # 12 (the natural choice for the 48x48 content grid: windows tile it
-    # exactly, where SAM's 14 would re-pad 48 -> 56; SAM init still works —
-    # the converter center-slices the rel-pos tables). Released-checkpoint
-    # inference instead uses bf16+flash at the full canvas, which is
-    # mAP-exact vs the f32 parity path (PERF.md "drift as mAP"); every
-    # tier's throughput is recorded in PERF.md alongside this number.
-    cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True,
-                       content_size=768)
-    cfg = dataclasses.replace(
-        cfg, crop_prologue=True,
-        vit=dataclasses.replace(cfg.vit, window_size=12),
-        hfc=dataclasses.replace(cfg.hfc, compat_scrambled_reshape=False))
-    model = WildlifeMapper(cfg)
     rng = np.random.default_rng(0)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3), jnp.float32))
 
-    @jax.jit
-    def pipeline(params, images, orig_sizes):
-        out = model.apply(params, images)
-        dets = postprocess(out, orig_sizes, confidence_threshold=0.05)
-        dets["keep"] = batched_nms(dets["boxes"], dets["scores"],
-                                   dets["labels"], dets["keep"], 0.4,
-                                   class_aware=False)
-        return dets
+    def build_pipeline(cfg):
+        model = WildlifeMapper(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3),
+                                             jnp.float32))
+
+        @jax.jit
+        def pipeline(params, images, orig_sizes):
+            out = model.apply(params, images)
+            dets = postprocess(out, orig_sizes, confidence_threshold=0.05)
+            dets["keep"] = batched_nms(dets["boxes"], dets["scores"],
+                                       dets["labels"], dets["keep"], 0.4,
+                                       class_aware=False)
+            return dets
+
+        return pipeline, params
 
     def make_inputs(batch):
         # the canvas the collate produces: 768px content, zero pad
@@ -160,13 +155,56 @@ def main():
         xh[:, :768, :768, :] = rng.normal(size=(batch, 768, 768, 3))
         return jnp.asarray(xh), jnp.full((batch, 2), 1024, jnp.int32)
 
+    # Headline: the production (from-scratch) config — bf16, packed Pallas
+    # kernels, full content crop. The reference pipeline zero-pads 768px
+    # content into a 1024 canvas (misc.py:50) and spends 44% of its FLOPs
+    # on pad tokens; here the whole network runs at content resolution,
+    # with window_size 12 (the natural choice for the 48x48 content grid:
+    # windows tile it exactly, where SAM's 14 would re-pad 48 -> 56; SAM
+    # init still works — the converter center-slices the rel-pos tables).
+    # This is a *different function* from the released checkpoint's: it is
+    # for models trained in this mode. The two checkpoint-servable tiers
+    # are measured below and emitted alongside (VERDICT r4 weak #2).
+    cfg = model_config("vit_b", dtype="bfloat16", use_flash_attention=True,
+                       content_size=768)
+    cfg = dataclasses.replace(
+        cfg, crop_prologue=True,
+        vit=dataclasses.replace(cfg.vit, window_size=12),
+        hfc=dataclasses.replace(cfg.hfc, compat_scrambled_reshape=False))
+    pipeline, params = build_pipeline(cfg)
     tiles_per_sec = measure(pipeline, params, make_inputs)
+
+    # Checkpoint-servable tiers (non-fatal: the headline is the gate; a
+    # flaky secondary compile must not zero the round record):
+    #  - checkpoint-compat crop: same weights/per-token function as full
+    #    canvas, pad ring dropped (the conjunction config of record);
+    #  - parity full canvas: mAP-exact vs f32 (PERF.md "drift as mAP").
+    tiers = {}
+    secondary = {
+        "checkpoint_compat_crop": model_config(
+            "vit_b", dtype="bfloat16", use_flash_attention=True,
+            content_size=768),
+        "parity_full_canvas": model_config(
+            "vit_b", dtype="bfloat16", use_flash_attention=True),
+    }
+    for name, tier_cfg in secondary.items():
+        try:
+            p, prm = build_pipeline(tier_cfg)
+            tiers[name] = round(measure(p, prm, make_inputs,
+                                        batches=(16,)), 2)
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            tiers[name] = f"failed: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "1024px_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/sec",
         "vs_baseline": round(tiles_per_sec / A100_REF_TILES_PER_SEC, 3),
+        "baseline": BASELINE_NOTE,
+        "headline_config": ("from-scratch crop_prologue + window 12 "
+                            "(production function; not the released-"
+                            "checkpoint function)"),
+        "checkpoint_servable_tiles_per_sec": tiers,
     }))
 
 

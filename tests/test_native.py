@@ -18,6 +18,39 @@ def test_native_lapjv_vs_scipy(rng):
                                    c[r, cc].sum(), rtol=1e-6, atol=1e-3)
 
 
+def test_native_builds_from_clean_source(tmp_path, rng):
+    """The .so is never committed (native/.gitignore); a fresh clone must
+    be able to rebuild it from wm_native.cpp alone. Compile the tracked
+    source into a temp dir with the exact flags native._build uses and
+    exercise one entry point through a fresh ctypes handle."""
+    import ctypes
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    src = native._DIR / "src" / "wm_native.cpp"
+    so = tmp_path / "libwm_native_clean.so"
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+         str(src), "-o", str(so)],
+        check=True, capture_output=True, timeout=120)
+    lib = ctypes.CDLL(str(so))
+    lib.wm_lapjv.restype = ctypes.c_int
+    lib.wm_lapjv.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                             ctypes.POINTER(ctypes.c_int)]
+    n = 8
+    c = np.ascontiguousarray(rng.normal(size=(n, n)).astype(np.float32))
+    out = np.empty(n, np.int32)
+    rc = lib.wm_lapjv(c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    assert rc == 0
+    from scipy.optimize import linear_sum_assignment as lsa
+    r, cc = lsa(c)
+    np.testing.assert_allclose(c[np.arange(n), out].sum(), c[r, cc].sum(),
+                               rtol=1e-6, atol=1e-4)
+
+
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 def test_native_nms_vs_numpy(rng):
     from wildlifemapper_tpu.eval.orthomosaic import _nms_numpy
