@@ -275,6 +275,44 @@ def test_eval_every_skips_intermediate_epochs(tmp_path, monkeypatch):
     assert "val/coco/AP" in stats
 
 
+def test_segmented_run_is_epoch_exact(tmp_path):
+    """Two epochs in one process == one epoch per process stitched with
+    --resume (scripts/train_segments.sh — the workaround for the remote
+    client's per-transfer host leak). Relies on: force_epoch writing
+    checkpoint_epoch_{last} on the final epoch regardless of cadence,
+    best_loss.json persisting the best tracker across processes, and
+    per-epoch loader seeding making data order restart-invariant."""
+    from wildlifemapper_tpu.train.checkpoints import CheckpointManager
+    from wildlifemapper_tpu.train.loop import train
+
+    cfg = tiny_full_config()
+    # cadence 100 => only the final-epoch force write can produce files
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, checkpoint_every=100))
+
+    single = tmp_path / "single"
+    train(cfg, workdir=str(single), epochs=2, max_steps_per_epoch=3,
+          max_eval_batches=1, print_fn=lambda *a, **k: None)
+    assert (single / "checkpoint_epoch_1").exists()  # force_epoch fired
+
+    seg = tmp_path / "seg"
+    train(cfg, workdir=str(seg), epochs=1, max_steps_per_epoch=3,
+          max_eval_batches=1, print_fn=lambda *a, **k: None)
+    assert (seg / "checkpoint_epoch_0").exists()
+    assert (seg / "best_loss.json").exists()
+    train(cfg, workdir=str(seg), epochs=2, resume=True,
+          max_steps_per_epoch=3, max_eval_batches=1,
+          print_fn=lambda *a, **k: None)
+
+    builder = StepBuilder(cfg)
+    params = builder.init_params(jax.random.PRNGKey(cfg.train.seed))
+    ref = CheckpointManager.load_params(str(single / "checkpoint_epoch_1"),
+                                        params)
+    got = CheckpointManager.load_params(str(seg / "checkpoint_epoch_1"),
+                                        params)
+    jax.tree.map(np.testing.assert_array_equal, ref, got)
+
+
 def test_load_params_from_trainstate_and_ema(tmp_path):
     """CheckpointManager.load_params pulls the params subtree (or
     ema_params with use_ema) out of a saved TrainState, re-typed onto the

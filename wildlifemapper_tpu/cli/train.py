@@ -44,6 +44,11 @@ def add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--eval_every", type=int, default=1,
                    help="run val evaluation every N epochs (always on the "
                         "final epoch); the reference evaluates every epoch")
+    p.add_argument("--best_every", type=int, default=1,
+                   help="consider a best_checkpoint write at most every N "
+                        "epochs (1 = reference parity: best-by-train-loss "
+                        "checked every epoch); >1 saves device->host state "
+                        "fetch time on remote-device runs")
     p.add_argument("--train_encoder", action="store_true",
                    help="unfreeze the ViT encoder. The reference hardcodes "
                         "freezing (build_sam.py) because it always starts "
@@ -185,6 +190,7 @@ def config_from_args(args) -> Config:
             seed=args.seed, use_amp=args.use_amp,
             freeze_encoder=not getattr(args, "train_encoder", False),
             eval_every=getattr(args, "eval_every", 1),
+            best_every=getattr(args, "best_every", 1),
             checkpoint_every=getattr(args, "checkpoint_every", 40),
             warmup_steps=args.warmup_steps, ema_decay=args.ema_decay,
             log_histograms_every=args.log_histograms_every),

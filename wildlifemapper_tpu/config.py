@@ -242,6 +242,13 @@ class TrainConfig:
     # reference evaluates every epoch (train.py:325); >1 trades per-epoch
     # val metrics for wall-clock on long runs (COCOeval is host-bound).
     eval_every: int = 1
+    # Consider a best_checkpoint save at most every N epochs (reference
+    # saves best-by-train-loss every epoch, train.py:344-358 — but on a
+    # steadily-converging run that is a full state fetch + write per epoch;
+    # over a remote-device tunnel it can be ~30% of epoch time). The best
+    # epoch SINCE THE LAST ALLOWED SAVE still wins, so nothing is lost
+    # except save frequency. 1 = reference parity.
+    best_every: int = 1
     # Freeze policy (reference: network.py:19-34): inside the encoder only
     # hfc_embed / hfc_attn / patch_embed train; decoder fully trains;
     # the dense-PE gaussian matrix is a buffer (never trained).

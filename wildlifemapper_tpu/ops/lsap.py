@@ -140,7 +140,7 @@ def solve_lsap(cost: jnp.ndarray, n_rows=None) -> jnp.ndarray:
 
 
 def matching_cost_pad(cost: jnp.ndarray, target_valid: jnp.ndarray,
-                      big: float = 1e6) -> jnp.ndarray:
+                      big: float = 100.0) -> jnp.ndarray:
     """Embed a (B, Q, T) rectangular DETR cost into a (B, S, S) square one.
 
     S = max(Q, T). Padding scheme (exactness argument in the module
@@ -149,6 +149,15 @@ def matching_cost_pad(cost: jnp.ndarray, target_valid: jnp.ndarray,
       real row  x dummy col -> 0
       dummy row x real col  -> +big   (forces real targets onto real queries)
       dummy row x dummy col -> 0
+
+    `big` must exceed the DETR cost range (|5*L1| <= 20 plus |class| <= 1
+    plus |2*giou| <= 4, so range < 28) but stay SMALL in f32 terms: when
+    more targets than queries force some onto +big dummy entries, the JV
+    dual potentials reach `big` scale and the solver can only resolve cost
+    differences above big * 2^-23. The original 1e6 rounded away ~0.06 of
+    real matching cost (measured: a 60-target/51-query instance matched
+    0.034 worse than scipy); 100 keeps resolution at ~1e-5 while still
+    dominating every real entry.
     """
     b, q, t = cost.shape
     s = max(q, t)

@@ -43,9 +43,26 @@ class CheckpointManager:
         return self._path(name).exists()
 
     def save_epoch(self, epoch: int, state_tree: Any,
-                   every: int = 40, is_best: bool = False):
-        """Reference cadence: every N epochs + best-by-train-loss."""
-        if (epoch + 1) % every == 0:
+                   every: int = 40, is_best: bool = False,
+                   force_epoch: bool = False):
+        """Reference cadence: every N epochs + best-by-train-loss.
+
+        `state_tree` may be a zero-arg callable returning the tree — it is
+        only invoked when a save actually fires, so callers can pass
+        `lambda: jax.device_get(state)` and skip the ~1 GB device->host
+        state fetch on the (majority of) epochs that save nothing.
+
+        `force_epoch` writes the epoch checkpoint regardless of cadence —
+        the loop sets it on the final epoch so a follow-up invocation with
+        a higher epoch target resumes exactly where this one stopped
+        (segmented runs: the remote-device client leaks host RSS per step,
+        so long runs are split across processes; see scripts/train_segments.sh)."""
+        epoch_due = (epoch + 1) % every == 0 or force_epoch
+        if not (epoch_due or is_best):
+            return
+        if callable(state_tree):
+            state_tree = state_tree()
+        if epoch_due:
             self.save(f"checkpoint_epoch_{epoch}", state_tree)
         if is_best:
             self.save("best_checkpoint", state_tree)

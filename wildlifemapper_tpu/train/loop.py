@@ -92,7 +92,16 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
     eval_step = builder.jit_eval_step()  # mesh-sharded like the train step
     dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
+    # best-by-train-loss survives process restarts (segmented runs): the
+    # tracked best is persisted beside the checkpoints, else a resumed
+    # process would start at inf and overwrite best_checkpoint with its
+    # first (possibly worse) epoch.
     best_loss = float("inf")
+    best_file = Path(workdir) / "best_loss.json"
+    if resume and best_file.exists():
+        import json
+        best_loss = json.loads(best_file.read_text())["loss"]
+        print_fn(f"resumed best_loss={best_loss:.4f}")
     stats: Dict[str, float] = {}
     for epoch in range(start_epoch, epochs):
         logger = MetricLogger(print_fn=print_fn)
@@ -161,8 +170,20 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
 
         is_best = epoch_loss < best_loss
         best_loss = min(best_loss, epoch_loss)
-        ckpt.save_epoch(epoch, jax.device_get(state),
-                        every=cfg.train.checkpoint_every, is_best=is_best)
+        if is_best and jax.process_index() == 0:
+            import json
+            best_file.write_text(json.dumps(
+                {"loss": best_loss, "epoch": epoch}))
+        # best_every > 1 rate-limits best_checkpoint writes (the fetch+write
+        # costs ~25-40 s/epoch over a remote-device tunnel and a converging
+        # run improves nearly every epoch); the best epoch since the last
+        # allowed save still wins because best_loss tracks every epoch.
+        allow_best = ((epoch + 1) % max(cfg.train.best_every, 1) == 0
+                      or epoch == epochs - 1)
+        ckpt.save_epoch(epoch, lambda: jax.device_get(state),
+                        every=cfg.train.checkpoint_every,
+                        is_best=is_best and allow_best,
+                        force_epoch=epoch == epochs - 1)
         if is_best and logger_backend:
             # best-checkpoint artifact (wandb_logger.py:306-329)
             logger_backend.log_artifact(
