@@ -249,3 +249,119 @@ def test_fuzz_matcher_invariants():
             ig_idx = np.where(dt_ig[ti])[0]
             for di in ig_idx:
                 assert dtm[ti, di] > 0 and g_ignore[dtm[ti, di] - 1]
+
+
+# ---- independent end-to-end AP oracle --------------------------------------
+# pycocotools is not in this image and the C++ wm_coco_match shares the
+# matcher spec with coco_eval.py, so this block cross-checks the WHOLE
+# pipeline (matching + accumulate + summarize) against a from-first-
+# principles evaluator written with a different structure: per-threshold
+# re-matching, a single global PR curve, maximum.accumulate envelope.
+
+
+def _iou_1xg(box, gts):
+    lt = np.maximum(box[:2], gts[:, :2])
+    rb = np.minimum(box[2:], gts[:, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    ag = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+    return inter / np.maximum(a + ag - inter, 1e-12)
+
+
+def _textbook_pr(gt_by_img, det_by_img, iou_thr):
+    """(scores, is_tp, npig) for one IoU threshold, one category, no
+    crowd/ignore, maxDets=100: classic greedy VOC/COCO matching — each
+    detection, in score order, takes the highest-IoU still-free GT of its
+    image if that IoU >= thr."""
+    rows = []
+    npig = 0
+    for img in sorted(set(gt_by_img) | set(det_by_img)):
+        gts = gt_by_img.get(img, np.zeros((0, 4)))
+        npig += len(gts)
+        boxes, scores = det_by_img.get(img, (np.zeros((0, 4)), np.zeros(0)))
+        order = np.argsort(-scores, kind="mergesort")[:100]
+        used = np.zeros(len(gts), dtype=bool)
+        for di in order:
+            ious = _iou_1xg(boxes[di], gts) if len(gts) else np.zeros(0)
+            ious = np.where(used, -1.0, ious)
+            best = int(np.argmax(ious)) if len(ious) else -1
+            if best >= 0 and ious[best] >= iou_thr:
+                used[best] = True
+                rows.append((scores[di], True))
+            else:
+                rows.append((scores[di], False))
+    rows.sort(key=lambda r: -r[0])
+    if rows:
+        s, tp = zip(*rows)
+    else:
+        s, tp = (), ()
+    return np.asarray(tp, dtype=bool), npig
+
+
+def _textbook_ap_ar(gt_by_img, det_by_img, iou_thr):
+    tp, npig = _textbook_pr(gt_by_img, det_by_img, iou_thr)
+    if npig == 0:
+        return -1.0, -1.0
+    if len(tp) == 0:
+        return 0.0, 0.0
+    tps = np.cumsum(tp)
+    rc = tps / npig
+    pr = tps / np.arange(1, len(tp) + 1)
+    env = np.maximum.accumulate(pr[::-1])[::-1]
+    rec_thrs = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(rc, rec_thrs, side="left")
+    q = np.where(idx < len(env), env[np.minimum(idx, len(env) - 1)], 0.0)
+    return float(q.mean()), float(rc[-1])
+
+
+def test_fuzz_end_to_end_vs_textbook_evaluator():
+    """CocoEvaluator's AP/AP50/AP75/AR100 == the independent textbook
+    evaluator on random single-category problems (continuous boxes and
+    scores -> tie-free, so both tie-breaking conventions agree)."""
+    from wildlifemapper_tpu.eval.coco_eval import IOU_THRS
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n_imgs = int(rng.integers(1, 6))
+        gt_by_img, det_by_img, anns = {}, {}, {}
+        for img in range(n_imgs):
+            n_gt = int(rng.integers(0, 8))
+            xy = rng.uniform(0, 800, (n_gt, 2))
+            wh = rng.uniform(4, 120, (n_gt, 2))
+            gts = np.concatenate([xy, xy + wh], axis=1)
+            gt_by_img[img] = gts
+            anns[img] = [_ann(x1, y1, x2 - x1, y2 - y1, 1)
+                         for x1, y1, x2, y2 in gts]
+            dets = []
+            for g in gts:  # jittered copies: mostly-TP candidates
+                if rng.random() < 0.75:
+                    jit = rng.normal(0, rng.uniform(0.5, 25), 4)
+                    b = g + jit
+                    dets.append([min(b[0], b[2]), min(b[1], b[3]),
+                                 max(b[0], b[2]) + 1, max(b[1], b[3]) + 1])
+            for _ in range(int(rng.integers(0, 6))):  # spurious FPs
+                xy0 = rng.uniform(0, 800, 2)
+                wh0 = rng.uniform(4, 120, 2)
+                dets.append([xy0[0], xy0[1], xy0[0] + wh0[0], xy0[1] + wh0[1]])
+            dets = np.asarray(dets, dtype=np.float64).reshape(-1, 4)
+            det_by_img[img] = (dets, rng.uniform(0.01, 1.0, len(dets)))
+
+        ev = CocoEvaluator(FakeIndex(anns, cats=(1,)))
+        ev.update({i: _pred(det_by_img[i][0], det_by_img[i][1],
+                            np.ones(len(det_by_img[i][1]), dtype=np.int64))
+                   for i in range(n_imgs)})
+        ev.accumulate()
+        stats = ev.summarize()
+
+        per_thr = [_textbook_ap_ar(gt_by_img, det_by_img, t) for t in IOU_THRS]
+        aps = np.asarray([p[0] for p in per_thr])
+        ars = np.asarray([p[1] for p in per_thr])
+        if np.all(aps == -1.0):  # no GT anywhere this trial
+            assert stats["AP"] == -1.0
+            continue
+        np.testing.assert_allclose(stats["AP"], aps.mean(), atol=1e-9,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(stats["AP50"], aps[0], atol=1e-9)
+        np.testing.assert_allclose(stats["AP75"], aps[5], atol=1e-9)
+        np.testing.assert_allclose(stats["AR100"], ars.mean(), atol=1e-9)
