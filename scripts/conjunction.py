@@ -67,8 +67,15 @@ def eval_ap(ckpt, content_size=None, batch_size=8, coco_path=None):
     """AP vs real annotations via the evaluate CLI (synthetic val tiles).
     aux_loss needs no flag here: deep supervision reuses the final heads,
     so aux-trained checkpoints restore into the plain eval model as-is."""
-    args = ["--synthetic_data", "--use_amp", "--orbax_checkpoint", ckpt,
-            "--batch_size", str(batch_size)]
+    # --fix_hw_swap: the AP-vs-GT legs score against the annotation file's
+    # true [h, w] frame, so the reference's PostProcess h/w-swap quirk
+    # (build_sam.py:252 — a no-op on square tiles) must be disabled here:
+    # the Mara frames are 5472x3648 and the swap misplaces every box
+    # (measured AP 0.0014 on a converged checkpoint vs the real value with
+    # the fix; PERF.md round 5). Drift legs compare detections to
+    # detections, so they are frame-consistent either way.
+    args = ["--synthetic_data", "--use_amp", "--fix_hw_swap",
+            "--orbax_checkpoint", ckpt, "--batch_size", str(batch_size)]
     if content_size:
         args += ["--content_size", str(content_size)]
     if coco_path:

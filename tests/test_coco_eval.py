@@ -365,3 +365,43 @@ def test_fuzz_end_to_end_vs_textbook_evaluator():
         np.testing.assert_allclose(stats["AP50"], aps[0], atol=1e-9)
         np.testing.assert_allclose(stats["AP75"], aps[5], atol=1e-9)
         np.testing.assert_allclose(stats["AR100"], ars.mean(), atol=1e-9)
+
+
+def test_nonsquare_frame_end_to_end_fix_vs_quirk():
+    """GT-as-predictions through postprocess -> COCOeval on a NON-SQUARE
+    image: the fixed frame must score AP=1.0, the replicated reference
+    h/w-swap quirk (build_sam.py:252) must collapse it. Guards the failure
+    mode where a converged checkpoint read AP=0.002 for three rounds on the
+    5472x3648 Mara frames while the loss said it had learned (PERF.md
+    round 5)."""
+    import jax.numpy as jnp
+
+    from wildlifemapper_tpu.eval.postprocess import postprocess
+
+    h, w = 120, 200  # non-square original frame
+    gt_xywh = [(10, 20, 40, 30, 1), (100, 60, 60, 40, 1), (150, 10, 30, 50, 1)]
+    gt = FakeIndex({7: [_ann(*g) for g in gt_xywh]}, cats=(1,))
+
+    # model frame: normalized cxcywh over the original (the resize is a
+    # pure scale, so normalizing over orig == normalizing over content)
+    boxes_n = np.asarray(
+        [[(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h]
+         for x, y, bw, bh, _ in gt_xywh], dtype=np.float32)[None]
+    logits = np.full((1, 3, 3), -8.0, dtype=np.float32)
+    logits[:, :, 1] = 8.0  # confident class 1, last index is background
+    outputs = {"pred_logits": jnp.asarray(logits),
+               "pred_boxes": jnp.asarray(boxes_n)}
+    orig = jnp.asarray([[h, w]], dtype=jnp.int32)
+
+    aps = {}
+    for compat in (False, True):
+        dets = postprocess(outputs, orig, hw_swap_compat=compat)
+        keep = np.asarray(dets["keep"][0])
+        ev = CocoEvaluator(gt)
+        ev.update({7: _pred(np.asarray(dets["boxes"][0])[keep],
+                            np.asarray(dets["scores"][0])[keep],
+                            np.asarray(dets["labels"][0])[keep])})
+        ev.accumulate()
+        aps[compat] = ev.summarize()["AP"]
+    assert aps[False] == pytest.approx(1.0)
+    assert aps[True] < 0.5

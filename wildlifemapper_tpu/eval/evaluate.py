@@ -105,8 +105,24 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
 
     pending = None
     consumed_any = False
+    warned_swap = False
     for batch in logger.log_every(batches, 10, header="Eval:",
                                   total=n_batches):
+        if not warned_swap and cfg.eval.hw_swap_compat:
+            os_hw = np.asarray(batch["orig_size"])
+            if (os_hw[:, 0] != os_hw[:, 1]).any():
+                # The replicated reference quirk (build_sam.py:252: x scaled
+                # by height, y by width) is a no-op on square tiles but
+                # misplaces every detection on non-square images, driving
+                # COCO AP to ~0 regardless of model quality (measured:
+                # 0.002 vs the true value on a converged checkpoint,
+                # PERF.md round 5). Match the reference bit-for-bit only
+                # when you *know* the data is square.
+                print_fn("WARNING: hw_swap_compat=True with non-square "
+                         "images — COCO mAP will be meaningless (boxes "
+                         "scaled into a swapped frame). Pass --fix_hw_swap "
+                         "unless you need bug-for-bug reference parity.")
+            warned_swap = True
         # "size" must ride along: under device_normalize the jitted step
         # re-zeros the canvas pad band from the content extents — without it
         # eval would normalize the pad to -mean/std while training zeros it.
