@@ -86,10 +86,14 @@ def eval_ap(ckpt, content_size=None, batch_size=8, coco_path=None):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         eval_cli.main(args)
+    out = {}
     for line in buf.getvalue().splitlines():
-        if line.startswith("coco/AP:"):
-            return float(line.split(":")[1])
-    raise RuntimeError("no AP in evaluate output:\n" + buf.getvalue())
+        for key in ("AP", "AP50"):
+            if line.startswith(f"coco/{key}:"):
+                out[key] = float(line.split(":")[1])
+    if "AP" not in out:
+        raise RuntimeError("no AP in evaluate output:\n" + buf.getvalue())
+    return out
 
 
 def main():
@@ -161,7 +165,12 @@ def main():
     # mAP-parity of record: both tiers against the SAME real GT — the
     # metric the reference publishes (inference.py:80-88). Drift-AP
     # (detections-vs-detections) is the stricter secondary diagnostic.
-    map_ratio = ap_crop / ap_full if ap_full > 0 else None
+    # AP50 ratios ride along: at moderate absolute AP the @[.5:.95]
+    # ratio is localization-noise-dominated while AP50 is stable.
+    map_ratio = (ap_crop["AP"] / ap_full["AP"]
+                 if ap_full["AP"] > 0 else None)
+    map50_ratio = (ap_crop["AP50"] / ap_full["AP50"]
+                   if ap_full.get("AP50", 0) > 0 else None)
     meets_parity = None
     if map_ratio is not None or crop_drift is not None:
         meets_parity = bool((map_ratio or 0.0) >= 0.99
@@ -171,9 +180,13 @@ def main():
         "drift_ap_vs_f32_full_canvas": crop_drift,
         "drift_ap_serving_threshold": crop_drift_serve,
         "parity_tier_drift_ap": drift_ap.get("bf16+flash"),
-        "ap_vs_gt_full_canvas": ap_full,
-        "ap_vs_gt_crop": ap_crop,
+        "ap_vs_gt_full_canvas": ap_full["AP"],
+        "ap_vs_gt_crop": ap_crop["AP"],
+        "ap50_vs_gt_full_canvas": ap_full.get("AP50"),
+        "ap50_vs_gt_crop": ap_crop.get("AP50"),
         "map_parity_ratio": None if map_ratio is None else round(map_ratio, 4),
+        "map50_parity_ratio": (None if map50_ratio is None
+                               else round(map50_ratio, 4)),
         "tiles_per_sec_b16": None if tps is None else round(tps, 1),
         "meets_parity": meets_parity,
         "meets_5x": None if tps is None else bool(tps >= 125.0),
