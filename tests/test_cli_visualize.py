@@ -28,6 +28,28 @@ def test_visualize_cli_writes_overlays(tmp_path, monkeypatch):
     assert max(img.size) == 48 and min(img.size) >= 1
 
 
+@pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
+def test_visualize_cli_orbax_checkpoint(tmp_path, monkeypatch):
+    """--orbax_checkpoint restores trainer-saved params into the viz CLI
+    (the run-of-record checkpoints are orbax, not torch)."""
+    import jax
+
+    from wildlifemapper_tpu.cli import visualize as viz
+    from wildlifemapper_tpu.train.checkpoints import CheckpointManager
+    from wildlifemapper_tpu.train.step import StepBuilder
+
+    cfg = tiny_full_config()
+    monkeypatch.setattr(viz, "config_from_args", lambda args: cfg)
+    params = StepBuilder(cfg).init_params(jax.random.PRNGKey(3))
+    CheckpointManager(str(tmp_path)).save("best_checkpoint", params)
+
+    out = tmp_path / "plots"
+    viz.main(["--output_dir", str(out), "--max_images", "1",
+              "--score_threshold", "0.0",
+              "--orbax_checkpoint", str(tmp_path / "best_checkpoint")])
+    assert len(sorted(out.glob("*.jpg"))) == 1
+
+
 def test_draw_detections_species_colors():
     from wildlifemapper_tpu.cli.visualize import SPECIES, draw_detections
 

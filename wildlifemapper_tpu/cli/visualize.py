@@ -48,8 +48,24 @@ def main(argv=None):
     p.add_argument("--score_threshold", type=float, default=0.5)
     p.add_argument("--nms_iou", type=float, default=0.4)
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--orbax_checkpoint", default=None,
+                   help="orbax checkpoint dir saved by our trainer "
+                        "(the torch --checkpoint path also works)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="visualize the EMA weights from an orbax checkpoint")
+    p.add_argument("--config_json", default=None,
+                   help="config.json written by the trainer beside its "
+                        "checkpoints; overrides the flag-derived model "
+                        "config (see cli/evaluate)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
+    if args.config_json:
+        import dataclasses
+
+        from ..config import config_from_json
+        saved = config_from_json(open(args.config_json).read())
+        cfg = dataclasses.replace(cfg, model=saved.model,
+                                  criterion=saved.criterion)
 
     import jax
 
@@ -65,6 +81,10 @@ def main(argv=None):
         from ..compat.torch_convert import convert_checkpoint
         params, _ = convert_checkpoint(args.checkpoint, params,
                                        depth=cfg.model.vit.depth)
+    elif args.orbax_checkpoint:
+        from ..train.checkpoints import CheckpointManager
+        params = CheckpointManager.load_params(args.orbax_checkpoint,
+                                               params, use_ema=args.use_ema)
 
     model = builder.model
     fwd = jax.jit(lambda p, x: model.apply(p, x))
