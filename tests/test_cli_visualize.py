@@ -27,6 +27,14 @@ def test_visualize_cli_writes_overlays(tmp_path, monkeypatch):
     # the content region of the 64-canvas (resize_size=48, aspect kept)
     assert max(img.size) == 48 and min(img.size) >= 1
 
+    # --draw_gt adds white GT outlines under the detections
+    out_gt = out.parent / "plots_gt"
+    viz.main(["--output_dir", str(out_gt), "--max_images", "1",
+              "--score_threshold", "0.0", "--draw_gt"])
+    arr = np.asarray(Image.open(sorted(out_gt.glob("*.jpg"))[0]))
+    near_white = (arr > 235).all(axis=-1)
+    assert near_white.any()
+
 
 @pytest.mark.skipif(not REF_ANN.exists(), reason="reference annotations absent")
 def test_visualize_cli_orbax_checkpoint(tmp_path, monkeypatch):

@@ -57,6 +57,10 @@ def main(argv=None):
                    help="config.json written by the trainer beside its "
                         "checkpoints; overrides the flag-derived model "
                         "config (see cli/evaluate)")
+    p.add_argument("--draw_gt", action="store_true",
+                   help="also draw the ground-truth boxes (thin white) "
+                        "under the detections — qualitative eval at a "
+                        "glance")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     if args.config_json:
@@ -109,6 +113,16 @@ def main(argv=None):
         arr = batch["image"][0][:h, :w]
         arr = ((arr * IMAGENET_STD + IMAGENET_MEAN) * 255).clip(0, 255)
         img = Image.fromarray(arr.astype(np.uint8))
+        if args.draw_gt and "boxes" in batch:
+            d = ImageDraw.Draw(img)
+            for (cx, cy, bw, bh), ok in zip(
+                    np.asarray(batch["boxes"][0]),
+                    np.asarray(batch["valid"][0])):
+                if not ok:
+                    continue
+                d.rectangle([(cx - bw / 2) * w, (cy - bh / 2) * h,
+                             (cx + bw / 2) * w, (cy + bh / 2) * h],
+                            outline=(255, 255, 255), width=1)
         img = draw_detections(img, dets["boxes"][0][keep],
                               dets["labels"][0][keep],
                               dets["scores"][0][keep])
