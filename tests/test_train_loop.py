@@ -433,3 +433,61 @@ def test_val_image_overlays_logged(tmp_path):
     assert img_events and img_events[0]["count"] >= 1
     written = list((tmp_path / "logs" / "t_images").glob("epoch_0_*.jpg"))
     assert len(written) == img_events[0]["count"]
+
+
+def test_best_metric_val_ap_tracks_highest_ap(tmp_path, monkeypatch):
+    """best_metric="val_ap": best_checkpoint follows the highest val
+    coco/AP (only evaluated epochs count), and the persisted tracker file
+    records the metric so resume logic can detect a switch."""
+    import json
+
+    from wildlifemapper_tpu.train import loop as loop_mod
+    from wildlifemapper_tpu.train.loop import train
+
+    aps = iter([0.2, 0.5, 0.3])
+
+    def fake_evaluate(*a, **k):
+        return {"AP": next(aps), "AP50": 1.0}
+
+    # loop reads val_stats["coco/AP"]; evaluate() prefixes with coco/
+    monkeypatch.setattr(loop_mod, "evaluate",
+                        lambda *a, **k: {f"coco/{x}": v
+                                         for x, v in fake_evaluate().items()})
+    cfg = tiny_full_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, best_metric="val_ap",
+                                       eval_every=1, checkpoint_every=100))
+    train(cfg, workdir=str(tmp_path), epochs=3, max_steps_per_epoch=2,
+          max_eval_batches=1, print_fn=lambda *a, **k: None)
+    best = json.loads((tmp_path / "best_loss.json").read_text())
+    assert best["metric"] == "val_ap"
+    assert best["epoch"] == 1 and best["value"] == 0.5
+    assert (tmp_path / "best_checkpoint").exists()
+
+
+def test_best_metric_switch_resets_tracker(tmp_path, monkeypatch):
+    """Resuming under a different best_metric must not compare a loss
+    against an AP: the tracker resets (and the default-metric file format
+    stays readable by segmented-run resumes)."""
+    import json
+
+    from wildlifemapper_tpu.train import loop as loop_mod
+    from wildlifemapper_tpu.train.loop import train
+
+    monkeypatch.setattr(loop_mod, "evaluate",
+                        lambda *a, **k: {"coco/AP": 0.1, "coco/AP50": 0.2})
+    cfg = tiny_full_config()
+    train(cfg, workdir=str(tmp_path), epochs=1, max_steps_per_epoch=2,
+          max_eval_batches=1, print_fn=lambda *a, **k: None)
+    first = json.loads((tmp_path / "best_loss.json").read_text())
+    assert first["metric"] == "train_loss" and "loss" in first
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, best_metric="val_ap"))
+    msgs = []
+    train(cfg2, workdir=str(tmp_path), epochs=2, resume=True,
+          max_steps_per_epoch=2, max_eval_batches=1,
+          print_fn=lambda *a, **k: msgs.append(" ".join(map(str, a))))
+    assert any("best tracker reset" in m for m in msgs)
+    second = json.loads((tmp_path / "best_loss.json").read_text())
+    assert second["metric"] == "val_ap" and second["value"] == 0.1

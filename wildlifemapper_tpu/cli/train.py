@@ -49,6 +49,12 @@ def add_config_args(p: argparse.ArgumentParser):
                         "epochs (1 = reference parity: best-by-train-loss "
                         "checked every epoch); >1 saves device->host state "
                         "fetch time on remote-device runs")
+    p.add_argument("--best_metric", default="train_loss",
+                   choices=["train_loss", "val_ap"],
+                   help="best_checkpoint selector: train_loss = reference "
+                        "parity (lowest epoch train loss, "
+                        "train.py:357-368); val_ap = highest val COCO AP "
+                        "(updates only on eval epochs)")
     p.add_argument("--train_encoder", action="store_true",
                    help="unfreeze the ViT encoder. The reference hardcodes "
                         "freezing (build_sam.py) because it always starts "
@@ -191,6 +197,7 @@ def config_from_args(args) -> Config:
             freeze_encoder=not getattr(args, "train_encoder", False),
             eval_every=getattr(args, "eval_every", 1),
             best_every=getattr(args, "best_every", 1),
+            best_metric=getattr(args, "best_metric", "train_loss"),
             checkpoint_every=getattr(args, "checkpoint_every", 40),
             warmup_steps=args.warmup_steps, ema_decay=args.ema_decay,
             log_histograms_every=args.log_histograms_every),

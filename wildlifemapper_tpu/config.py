@@ -263,6 +263,11 @@ class TrainConfig:
     # reference's wandb model watch / histogram tables
     # (wandb_logger.py:101-120, 272-288).
     log_histograms_every: int = 0
+    # Best-checkpoint selection metric: "train_loss" = reference parity
+    # (best-by-lowest-epoch-train-loss, train.py:357-368); "val_ap" keeps
+    # the highest val COCO AP instead — it only updates on epochs that run
+    # evaluation, so pair it with a matching eval_every cadence.
+    best_metric: str = "train_loss"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,16 +92,29 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
     eval_step = builder.jit_eval_step()  # mesh-sharded like the train step
     dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
-    # best-by-train-loss survives process restarts (segmented runs): the
-    # tracked best is persisted beside the checkpoints, else a resumed
-    # process would start at inf and overwrite best_checkpoint with its
-    # first (possibly worse) epoch.
-    best_loss = float("inf")
+    # The tracked best survives process restarts (segmented runs): it is
+    # persisted beside the checkpoints, else a resumed process would start
+    # at inf and overwrite best_checkpoint with its first (possibly worse)
+    # epoch. best_metric="train_loss" is reference parity
+    # (train.py:357-368); "val_ap" keeps the highest val COCO AP instead.
+    maximize = cfg.train.best_metric == "val_ap"
+    best_value = float("-inf") if maximize else float("inf")
     best_file = Path(workdir) / "best_loss.json"
     if resume and best_file.exists():
         import json
-        best_loss = json.loads(best_file.read_text())["loss"]
-        print_fn(f"resumed best_loss={best_loss:.4f}")
+        saved = json.loads(best_file.read_text())
+        if saved.get("metric", "train_loss") == cfg.train.best_metric:
+            # legacy files carry only {"loss": ...}
+            best_value = saved.get("value", saved.get("loss"))
+            # exact legacy message for the default metric: log parsers
+            # (scripts/val_curve.py) match "resumed best_loss="
+            tag = ("best_loss" if cfg.train.best_metric == "train_loss"
+                   else f"best_{cfg.train.best_metric}")
+            print_fn(f"resumed {tag}={best_value:.4f}")
+        else:
+            print_fn(f"best metric changed "
+                     f"({saved.get('metric', 'train_loss')} -> "
+                     f"{cfg.train.best_metric}); best tracker reset")
     stats: Dict[str, float] = {}
     for epoch in range(start_epoch, epochs):
         logger = MetricLogger(print_fn=print_fn)
@@ -168,12 +181,20 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
             # wandb model-watch equivalent (wandb_logger.py:101-120, 272-288)
             logger_backend.log_histograms(epoch, jax.device_get(state.params))
 
-        is_best = epoch_loss < best_loss
-        best_loss = min(best_loss, epoch_loss)
+        if maximize:
+            candidate = val_stats.get("coco/AP")
+            is_best = candidate is not None and candidate > best_value
+        else:
+            candidate = epoch_loss
+            is_best = candidate < best_value
+        if is_best:
+            best_value = candidate
         if is_best and jax.process_index() == 0:
             import json
+            # "loss" key kept for segmented-run readers of older files
             best_file.write_text(json.dumps(
-                {"loss": best_loss, "epoch": epoch}))
+                {"loss": epoch_loss, "epoch": epoch,
+                 "metric": cfg.train.best_metric, "value": best_value}))
         # best_every > 1 rate-limits best_checkpoint writes (the fetch+write
         # costs ~25-40 s/epoch over a remote-device tunnel and a converging
         # run improves nearly every epoch); the best epoch since the last
@@ -188,6 +209,7 @@ def train(cfg: Config, workdir: str = "checkpoints", epochs: Optional[int] = Non
             # best-checkpoint artifact (wandb_logger.py:306-329)
             logger_backend.log_artifact(
                 str(ckpt._path("best_checkpoint")), "best_checkpoint",
-                type="model", metadata={"epoch": epoch, "loss": epoch_loss})
+                type="model", metadata={"epoch": epoch, "loss": epoch_loss,
+                                        cfg.train.best_metric: best_value})
 
     return stats
