@@ -7,10 +7,13 @@
 # Launch detached:  nohup bash scripts/r5_verdict.sh > /tmp/prof/r5_verdict.log 2>&1 &
 set -u
 cd /root/repo || exit 1
-export JAX_COMPILATION_CACHE_DIR=/tmp/wm_jax_cache
+# Everything persistent under /root/repo/_runs — a /tmp-wiping host reboot
+# (observed twice this round) must not eat the run, the caches, or the verdict.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/_runs/jax_cache}"
+export WM_SYNTH_CACHE="${WM_SYNTH_CACHE:-/root/repo/_runs/synth_cache}"
 RUN=${RUN:-/root/repo/_runs/r5x16}
-TRAIN_LOG=${TRAIN_LOG:-/tmp/prof/r5x16.log}
-COCO=${COCO:-/tmp/prof/ann_x16full}
+TRAIN_LOG=${TRAIN_LOG:-/root/repo/_runs/r5x16.log}
+COCO=${COCO:-/root/repo/_runs/ann_x16full}
 
 stamp() { date -u +%FT%TZ; }
 
