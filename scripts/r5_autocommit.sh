@@ -32,7 +32,11 @@ fi
 
 cp "$RUN/verdict.json" VERDICT_R5_RUN.json
 { echo "# runner log ($(stamp)):"; tail -20 "$VLOG"; } > VERDICT_R5_RUN.log.txt
-git add VERDICT_R5_RUN.json VERDICT_R5_RUN.log.txt
+# Write the documents of record (PERF.md / BASELINE.md / README footnote)
+# from the verdict JSON; non-fatal — the raw JSON commit below is the
+# irreducible record either way.
+python scripts/r5_record.py || echo "[$(stamp)] r5_record.py failed (raw JSON still committed)"
+git add VERDICT_R5_RUN.json VERDICT_R5_RUN.log.txt PERF.md BASELINE.md README.md
 git commit -m "r5 conjunction verdict of record (auto-committed on completion)" || true
 echo "[$(stamp)] committed:"
 cat VERDICT_R5_RUN.json
