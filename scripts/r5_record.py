@@ -56,7 +56,7 @@ def main():
                 "Treat the conjunction as NOT closed by this line.")
     elif meets_p and meets_5x:
         head = ("**The north-star conjunction CLOSES**: the checkpoint-compat "
-                "crop tier serves the converged full-canvas-trained weights at "
+                "crop tier serves the trained full-canvas weights at "
                 f"mAP parity ratio {fmt(ratio)} (AP50 ratio {fmt(r50)}) while "
                 f"sustaining {fmt(tps, 1)} tiles/sec (target ≥125 = 5× the "
                 "documented A100 analytic estimate).")
@@ -108,10 +108,13 @@ epochs, frame-fixed):
         base += f"""
 ## Measured results (round 5)
 
-Converged-checkpoint conjunction verdict (see PERF.md for the full
-record; `VERDICT_R5_RUN.json` for the raw line). Synthetic x16 val
-tiles (real Mara geometry/counts/classes); the real-checkpoint gate
-stays queued behind egress.
+Trained-checkpoint conjunction verdict (60-epoch from-scratch run —
+partially converged; the reference schedule of record is 550 epochs —
+see PERF.md for the full record; `VERDICT_R5_RUN.json` for the raw
+line). Synthetic x16 val tiles (real Mara geometry/counts/classes);
+the real-checkpoint gate stays queued behind egress. Caveat: at
+moderate absolute AP the @[.5:.95] ratio carries localization noise;
+read it together with the AP50 ratio and the drift legs.
 
 | Leg | Target | Measured | Verdict |
 |---|---|---|---|
@@ -127,17 +130,18 @@ stays queued behind egress.
            "t/s full-canvas tier (table\nabove) is the measured mAP-exact "
            "configuration either way.")
     if partial:
-        new = ("The round-5 converged-checkpoint verdict was PARTIAL "
+        new = ("The round-5 trained-checkpoint verdict was PARTIAL "
                f"(missing legs: {partial}; `VERDICT_R5_RUN.json`); the 66.3 "
                "t/s full-canvas tier (table above) is the measured "
                "mAP-exact configuration either way.")
     elif meets_p:
-        new = ("Parity of record (round 5, converged 60-epoch checkpoint, "
+        new = ("Parity of record (round 5, 60-epoch trained checkpoint — "
+               "partially converged; the reference schedule is 550 epochs — "
                f"real-GT AP ratio, frame-fixed): **{fmt(ratio)}** (AP50 "
-               f"ratio {fmt(r50)}) at {fmt(tps, 1)} tiles/sec — the "
-               "conjunction closes (`VERDICT_R5_RUN.json`, PERF.md round 5).")
+               f"ratio {fmt(r50)}) at {fmt(tps, 1)} tiles/sec "
+               "(`VERDICT_R5_RUN.json`, PERF.md round 5).")
     else:
-        new = ("The round-5 converged-checkpoint verdict read AP ratio "
+        new = ("The round-5 trained-checkpoint (60-epoch) verdict read AP ratio "
                f"{fmt(ratio)} (AP50 ratio {fmt(r50)}) — below the 0.99 bar; "
                "serve released checkpoints on the measured mAP-exact "
                "full-canvas bf16 tier (66.3 t/s, table above). "
