@@ -22,14 +22,18 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent XLA executable cache: remote axon compiles run 30 s - 25 min
-# cold (CLAUDE.md), and the in-session evidence pipelines
-# (scripts/r4b_evidence.sh) warm this same directory — so a driver bench
-# that runs right after a session reuses those compiles instead of
-# repeating them. Env override wins; failures (read-only fs, old jax)
-# just fall back to cold compiles.
+# cold (CLAUDE.md), and the in-session evidence pipelines (the round-5
+# verdict runner) warm this same directory — so a driver bench that runs
+# right after a session reuses those compiles instead of repeating them.
+# Under /root/repo/_runs (gitignored), NOT /tmp: host reboots wipe /tmp
+# (observed twice on 08-19) and a wiped cache turns the driver bench into
+# 3+ cold 10-25 min remote compiles. Env override wins; failures
+# (read-only fs, old jax) just fall back to cold compiles.
 if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/wm_jax_cache")
+        cache_dir = "/root/repo/_runs/jax_cache"
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:
         pass
 
