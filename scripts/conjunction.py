@@ -128,8 +128,20 @@ def main():
         # uncached remote compiles run 10-25 min EACH (CLAUDE.md). The
         # pipeline's shared JAX_COMPILATION_CACHE_DIR usually amortizes
         # this, but the gate must not die on a cold cache.
-        drift = subprocess.run(drift_cmd, capture_output=True, text=True,
-                               timeout=7200)
+        try:
+            drift = subprocess.run(drift_cmd, capture_output=True, text=True,
+                                   timeout=7200)
+        except subprocess.TimeoutExpired as e:
+            # A timed-out drift leg must not take the whole verdict down
+            # with it — mark the leg failed and let the AP/throughput legs
+            # still produce a (partial) verdict line. TimeoutExpired's
+            # captured output may be None or bytes regardless of text=True.
+            def _s(v):
+                return v.decode(errors="replace") if isinstance(v, bytes) \
+                    else (v or "")
+            drift = subprocess.CompletedProcess(
+                drift_cmd, returncode=-1, stdout=_s(e.stdout),
+                stderr=_s(e.stderr) + "\nDRIFT LEG TIMED OUT (7200s)")
         if drift.returncode != 0:
             # A crashed drift leg must be visible, never a silent NaN
             # (advisor r4): surface stderr and mark the leg failed.
