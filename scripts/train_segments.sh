@@ -28,17 +28,62 @@ mkdir -p "$(dirname "$LOG")"
 
 stamp() { date -u +%FT%TZ; }
 
+# Stall watchdog: the axon tunnel connection can die mid-run (observed
+# 08-20 00:45 UTC at epoch 52: the client loses its TCP connection to the
+# relay and blocks forever in a futex wait — zero CPU, no log output —
+# while the relay itself stays healthy for NEW clients). A hung dispatch
+# never returns, so detect it by segment-log silence: a training epoch
+# prints at least every ~75 s, and eval/checkpoint epochs within a few
+# minutes. WATCHDOG_SECS of log silence => SIGKILL the exact child PID
+# and retry the segment (resume makes a mid-epoch kill epoch-safe: the
+# loop restarts from the last checkpoint_epoch_* with identical per-epoch
+# data order).
+WATCHDOG_SECS=${WATCHDOG_SECS:-900}
+POLL_SECS=${POLL_SECS:-30}      # watchdog poll cadence (tests shrink it)
+RETRIES=${RETRIES:-2}   # extra attempts per segment after the first
+PROBE_SLEEP=${PROBE_SLEEP:-300} # wait between relay probes before a retry
+
+run_segment() {  # $1=target $2=log ; returns child rc, or 99 on stall-kill
+  # shellcheck disable=SC2086
+  python -m wildlifemapper_tpu.cli.train $TRAIN_ARGS \
+    --epochs "$1" --resume >> "$2" 2>&1 &
+  local pid=$!
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep "$POLL_SECS"
+    local age=$(( $(date +%s) - $(stat -c %Y "$2" 2>/dev/null || date +%s) ))
+    if [ "$age" -gt "$WATCHDOG_SECS" ]; then
+      echo "[$(stamp)] watchdog: no log output for ${age}s — killing pid $pid"
+      kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      return 99
+    fi
+  done
+  wait "$pid"
+}
+
 target=$SEG
 seg_i=0
 while [ "$target" -le "$EPOCHS" ] || [ "$((target - SEG))" -lt "$EPOCHS" ]; do
   [ "$target" -gt "$EPOCHS" ] && target=$EPOCHS
-  echo "[$(stamp)] segment $seg_i: epochs -> $target"
-  # shellcheck disable=SC2086
-  python -m wildlifemapper_tpu.cli.train $TRAIN_ARGS \
-    --epochs "$target" --resume >> "${LOG}.seg${seg_i}.log" 2>&1
-  rc=$?
+  attempt=0
+  rc=1
+  while [ "$attempt" -le "$RETRIES" ]; do
+    echo "[$(stamp)] segment $seg_i: epochs -> $target (attempt $attempt)"
+    run_segment "$target" "${LOG}.seg${seg_i}.log"
+    rc=$?
+    [ "$rc" -eq 0 ] && break
+    echo "[$(stamp)] segment $seg_i attempt $attempt exited rc=$rc; probing relay before retry"
+    # Bounded probe: if the relay is down, wait for it (up to ~30 min)
+    # rather than burning retries into a dead tunnel.
+    for probe_i in 1 2 3; do
+      timeout 280 python -c "import jax; jax.devices()" >/dev/null 2>&1 && break
+      echo "[$(stamp)] relay probe $probe_i failed; sleeping ${PROBE_SLEEP}s"
+      sleep "$PROBE_SLEEP"
+    done
+    attempt=$((attempt + 1))
+  done
   if [ "$rc" -ne 0 ]; then
-    echo "[$(stamp)] segment $seg_i FAILED rc=$rc (log ${LOG}.seg${seg_i}.log)"
+    echo "[$(stamp)] segment $seg_i FAILED rc=$rc after $attempt retries (log ${LOG}.seg${seg_i}.log)"
     exit "$rc"
   fi
   [ "$target" -ge "$EPOCHS" ] && break
