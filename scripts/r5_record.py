@@ -33,7 +33,9 @@ def main():
         print("PERF.md already has the verdict section; not rewriting")
         return 0
 
-    seg_logs = sorted(RUN.glob("seg.seg*.log"))
+    # seg.seg*.log = original segmented run; segb.seg*.log = the post-hang
+    # relaunch of the final stretch (TODO.md live state) — the curve wants both.
+    seg_logs = sorted(RUN.glob("seg.seg*.log")) + sorted(RUN.glob("segb.seg*.log"))
     curve = ""
     if seg_logs:
         try:
