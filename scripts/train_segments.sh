@@ -39,20 +39,35 @@ stamp() { date -u +%FT%TZ; }
 # loop restarts from the last checkpoint_epoch_* with identical per-epoch
 # data order).
 WATCHDOG_SECS=${WATCHDOG_SECS:-900}
+# Startup is legitimately silent for a long stretch: checkpoint restore +
+# cached-compile load + first-step dispatch took ~13 min of no log output
+# on a healthy run (observed 01:02->01:15 UTC) — longer than WATCHDOG_SECS.
+# Until THIS attempt prints its first "Epoch: [" line, the more lenient
+# startup grace applies.
+STARTUP_GRACE_SECS=${STARTUP_GRACE_SECS:-2400}
 POLL_SECS=${POLL_SECS:-30}      # watchdog poll cadence (tests shrink it)
 RETRIES=${RETRIES:-2}   # extra attempts per segment after the first
 PROBE_SLEEP=${PROBE_SLEEP:-300} # wait between relay probes before a retry
 
 run_segment() {  # $1=target $2=log ; returns child rc, or 99 on stall-kill
+  local off=0
+  [ -f "$2" ] && off=$(stat -c %s "$2")
   # shellcheck disable=SC2086
   python -m wildlifemapper_tpu.cli.train $TRAIN_ARGS \
     --epochs "$1" --resume >> "$2" 2>&1 &
   local pid=$!
   while kill -0 "$pid" 2>/dev/null; do
     sleep "$POLL_SECS"
+    local limit=$WATCHDOG_SECS
+    # Only bytes THIS attempt appended count toward leaving startup —
+    # a previous attempt's epoch lines in the shared log must not
+    # shorten a fresh restore's grace window.
+    if ! tail -c "+$((off + 1))" "$2" 2>/dev/null | grep -q "Epoch: \["; then
+      limit=$STARTUP_GRACE_SECS
+    fi
     local age=$(( $(date +%s) - $(stat -c %Y "$2" 2>/dev/null || date +%s) ))
-    if [ "$age" -gt "$WATCHDOG_SECS" ]; then
-      echo "[$(stamp)] watchdog: no log output for ${age}s — killing pid $pid"
+    if [ "$age" -gt "$limit" ]; then
+      echo "[$(stamp)] watchdog: no log output for ${age}s (limit ${limit}s) — killing pid $pid"
       kill -9 "$pid" 2>/dev/null
       wait "$pid" 2>/dev/null
       return 99

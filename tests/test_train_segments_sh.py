@@ -37,6 +37,7 @@ def _run(tmp_path, bindir, env_extra, timeout=60):
     env["PATH"] = f"{bindir}:{env['PATH']}"
     env.update({"REPO": str(tmp_path), "LOG": str(tmp_path / "seg"),
                 "TRAIN_ARGS": "", "POLL_SECS": "1", "PROBE_SLEEP": "0",
+                "STARTUP_GRACE_SECS": "2",
                 "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "cache")})
     env.update(env_extra)
     return subprocess.run(["bash", str(SCRIPT)], env=env, timeout=timeout,
@@ -74,6 +75,55 @@ def test_watchdog_exhausted_retries_fails_loudly(tmp_path):
     assert r.returncode != 0
     assert "FAILED" in r.stdout, r.stdout
     assert "SEGMENTS_COMPLETE" not in r.stdout
+
+
+def test_startup_grace_outlives_watchdog_until_first_epoch_line(tmp_path):
+    """Checkpoint restore + compile load is silent for ~13 min on a
+    healthy run — longer than WATCHDOG_SECS. Until the attempt prints
+    its first "Epoch: [" line the startup grace applies; after that
+    line, the tight watchdog takes over (the stall after it is killed)."""
+    attempts = tmp_path / "attempts"
+    body = (
+        f'n=$(cat "{attempts}" 2>/dev/null || echo 0)\n'
+        f'echo $((n+1)) > "{attempts}"\n'
+        'if [ "$n" -eq 0 ]; then\n'
+        # silent "restore" longer than WATCHDOG_SECS but under grace,
+        # then an epoch line, then a stall -> tight watchdog kills it
+        '  sleep 4; echo "Epoch: [50] [0/116]"; sleep 45; exit 1\n'
+        'fi\n'
+        'echo "Epoch: [50] done"; exit 0\n')
+    bindir = _write_stub(tmp_path, body)
+    env = {"EPOCHS": "1", "SEG": "1", "WATCHDOG_SECS": "2",
+           "STARTUP_GRACE_SECS": "8", "RETRIES": "1"}
+    r = _run(tmp_path, bindir, env, timeout=90)
+    # survived the silent startup (no kill before the epoch line) ...
+    assert attempts.read_text().strip() == "2", r.stdout
+    # ... but the post-epoch stall was killed and the retry completed
+    assert "watchdog: no log output" in r.stdout, r.stdout
+    assert "SEGMENTS_COMPLETE" in r.stdout, r.stdout
+    assert r.returncode == 0
+
+
+def test_prior_attempt_epoch_lines_do_not_cancel_grace(tmp_path):
+    """The shared per-segment log keeps earlier attempts' epoch lines;
+    only bytes appended by THIS attempt may end its startup grace."""
+    attempts = tmp_path / "attempts"
+    log = tmp_path / "seg.seg0.log"
+    log.write_text("Epoch: [49] stale line from a previous attempt\n")
+    body = (
+        f'n=$(cat "{attempts}" 2>/dev/null || echo 0)\n'
+        f'echo $((n+1)) > "{attempts}"\n'
+        'if [ "$n" -eq 0 ]; then sleep 4; echo "Epoch: [50]"; exit 0; fi\n'
+        'echo unexpected-retry; exit 0\n')
+    bindir = _write_stub(tmp_path, body)
+    env = {"EPOCHS": "1", "SEG": "1", "WATCHDOG_SECS": "1",
+           "STARTUP_GRACE_SECS": "10", "RETRIES": "1"}
+    r = _run(tmp_path, bindir, env, timeout=60)
+    # with the stale line wrongly counted, WATCHDOG_SECS=1 would kill the
+    # 4s-silent startup; grace must hold and the run completes first try
+    assert attempts.read_text().strip() == "1", r.stdout
+    assert "watchdog" not in r.stdout, r.stdout
+    assert r.returncode == 0
 
 
 def test_clean_run_no_watchdog_interference(tmp_path):
