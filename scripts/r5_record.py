@@ -35,7 +35,8 @@ def main():
 
     # seg.seg*.log = original segmented run; segb.seg*.log = the post-hang
     # relaunch of the final stretch (TODO.md live state) — the curve wants both.
-    seg_logs = sorted(RUN.glob("seg.seg*.log")) + sorted(RUN.glob("segb.seg*.log"))
+    seg_logs = (sorted(RUN.glob("seg.seg*.log")) + sorted(RUN.glob("segb.seg*.log"))
+                + sorted(RUN.glob("r5x16.seg*.log")))
     curve = ""
     if seg_logs:
         try:
