@@ -203,6 +203,10 @@ def main():
         "meets_parity": meets_parity,
         "meets_5x": None if tps is None else bool(tps >= 125.0),
         "partial": partial,
+        # Self-description: which weights produced this line (judge r4
+        # weak #2 — the verdict must be readable without PERF.md context).
+        "checkpoint": args.orbax_checkpoint,
+        "coco_path": args.coco_path,
     }
     # allow_nan=False: any NaN sneaking back in is a bug, fail loudly.
     print(json.dumps(verdict, allow_nan=False))
